@@ -1,0 +1,262 @@
+"""Forward softmax-splatting (softsplat) for TPU.
+
+Semantics match the reference CUDA kernels
+(/root/reference/MOFA-Video-Traj/models/softsplat.py:284-525): each source
+pixel p=(y,x) is scattered to the 4 bilinear neighbours of
+(x + flow_x, y + flow_y) with bilinear weights; out-of-bounds taps are
+dropped; pixels with non-finite flow are skipped; modes 'sum'/'avg'/
+'linear'/'soft' wrap the raw splat with a normalization channel
+(softsplat.py:232-274). Computation is fp32 regardless of input dtype
+(mirroring @custom_fwd(cast_inputs=float32), softsplat.py:279).
+
+Layout is channel-last: tenIn [B, H, W, C], tenFlow [B, H, W, 2] with
+flow[..., 0] = dx (columns), flow[..., 1] = dy (rows).
+
+TPU design notes
+----------------
+Scatter-add with data-dependent indices is the one op the reference gets
+"for free" from CUDA atomics and TPUs do not. Two device backends:
+
+- "xla": `out.at[idx].add(vals)` — XLA variadic scatter. Deterministic
+  (unlike CUDA atomics), always available, and the autodiff oracle.
+- "matmul": the splat is expressed per image as `out = W^T @ in` where
+  W[p_in, p_out] holds the 4 bilinear weights. W is never materialized
+  globally: we scan over output tiles, build the [P_in, tile] weight block
+  on the fly from index comparisons (VPU) and contract on the MXU. This
+  turns a scatter into a stream of dense matmuls — the TPU-native
+  formulation.
+
+The VJP is shared and gather-based (the transpose of a scatter is a
+gather), matching `softsplat_ingrad`/`softsplat_flowgrad` math:
+  d_in[p, c]  = sum_tap w_tap * g[target_tap, c]
+  d_flow_x[p] = sum_c sum_tap dw_tap/dx * in[p, c] * g[target_tap, c]
+with floor() treated as locally constant — exactly the reference backward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Mode = Literal["sum", "avg", "linear", "soft"]
+
+
+def _tap_data(flow: jnp.ndarray, H: int, W: int):
+    """Per-pixel tap targets/weights. flow [..., H, W, 2] fp32.
+
+    Returns (flat_targets [4, ..., H*W], weights [4, ..., H*W], valid [4, ..., H*W]).
+    """
+    cols = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    tx = cols + flow[..., 0]
+    ty = rows + flow[..., 1]
+    finite = jnp.isfinite(tx) & jnp.isfinite(ty)
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    wx1 = tx - x0   # weight toward x1
+    wx0 = x1 - tx
+    wy1 = ty - y0
+    wy0 = y1 - ty
+    taps = []
+    for (xi, yi, w) in (
+        (x0, y0, wx0 * wy0),
+        (x1, y0, wx1 * wy0),
+        (x0, y1, wx0 * wy1),
+        (x1, y1, wx1 * wy1),
+    ):
+        inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & finite
+        xi_i = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yi_i = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        flat = yi_i * W + xi_i
+        taps.append((flat, w, inside))
+    flats = jnp.stack([t[0] for t in taps])
+    ws = jnp.stack([t[1] for t in taps])
+    valids = jnp.stack([t[2] for t in taps])
+    sh = flats.shape[:-2] + (H * W,)
+    return flats.reshape(sh), ws.reshape(sh), valids.reshape(sh)
+
+
+# ---------------------------------------------------------------- raw splat
+
+
+def _splat_xla(inp: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] x [B, H, W, 2] -> [B, H, W, C] via XLA scatter-add."""
+    B, H, W, C = inp.shape
+    P = H * W
+    flats, ws, valids = _tap_data(flow, H, W)       # [4, B, P]
+    src = inp.reshape(B, P, C)
+    out = jnp.zeros((B, P, C), jnp.float32)
+    for t in range(4):
+        idx = jnp.where(valids[t], flats[t], P)     # P = dropped
+        vals = src * ws[t][..., None]
+        out = out.at[jnp.arange(B)[:, None], idx].add(vals, mode="drop")
+    return out.reshape(B, H, W, C)
+
+
+def _splat_matmul(inp: jnp.ndarray, flow: jnp.ndarray, tile: int = 512) -> jnp.ndarray:
+    """Tiled one-hot matmul splat: MXU-friendly, no data-dependent writes."""
+    B, H, W, C = inp.shape
+    P = H * W
+    ntiles = -(-P // tile)
+    Ppad = ntiles * tile
+    flats, ws, valids = _tap_data(flow, H, W)       # [4, B, P]
+    # invalid taps -> index Ppad (never matches a tile position)
+    flats = jnp.where(valids, flats, Ppad)
+    flats = jnp.moveaxis(flats, 0, 1)               # [B, 4, P]
+    ws = jnp.moveaxis(ws, 0, 1)
+    src = inp.reshape(B, P, C)
+
+    def per_image(args):
+        flats_i, ws_i, src_i = args                  # [4,P], [4,P], [P,C]
+
+        def tile_out(start):
+            pos = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)  # [1,tile]
+            wblk = jnp.zeros((P, tile), jnp.float32)
+            for t in range(4):
+                hit = (flats_i[t][:, None] == pos).astype(jnp.float32)
+                wblk = wblk + hit * ws_i[t][:, None]
+            return jnp.einsum("pt,pc->tc", wblk, src_i,
+                              preferred_element_type=jnp.float32)
+
+        starts = jnp.arange(ntiles, dtype=jnp.int32) * tile
+        tiles = jax.lax.map(tile_out, starts)        # [ntiles, tile, C]
+        return tiles.reshape(Ppad, C)[:P]
+
+    out = jax.lax.map(per_image, (flats, ws, src))
+    return out.reshape(B, H, W, C)
+
+
+_BACKEND = {"xla": _splat_xla, "matmul": _splat_matmul}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def splat_raw(inp: jnp.ndarray, flow: jnp.ndarray, backend: str = "xla") -> jnp.ndarray:
+    """Raw (un-normalized) forward splat, fp32 in/out."""
+    return _BACKEND[backend](inp, flow)
+
+
+def _splat_fwd(inp, flow, backend):
+    out = _BACKEND[backend](inp, flow)
+    return out, (inp, flow)
+
+
+def _splat_bwd(backend, res, g):
+    inp, flow = res
+    B, H, W, C = inp.shape
+    P = H * W
+    g = g.astype(jnp.float32)
+    gflat = g.reshape(B, P, C)
+    src = inp.reshape(B, P, C)
+
+    cols = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    tx = (cols + flow[..., 0]).reshape(B, P)
+    ty = (rows + flow[..., 1]).reshape(B, P)
+    finite = jnp.isfinite(tx) & jnp.isfinite(ty)
+    x0 = jnp.floor(tx)
+    y0 = jnp.floor(ty)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    d_in = jnp.zeros((B, P, C), jnp.float32)
+    d_fx = jnp.zeros((B, P), jnp.float32)
+    d_fy = jnp.zeros((B, P), jnp.float32)
+    barange = jnp.arange(B)[:, None]
+    # (xi, yi, w, dw/dx, dw/dy) per tap — derivative treats floor() as constant
+    taps = (
+        (x0, y0, (x1 - tx) * (y1 - ty), -(y1 - ty), -(x1 - tx)),
+        (x1, y0, (tx - x0) * (y1 - ty), (y1 - ty), -(tx - x0)),
+        (x0, y1, (x1 - tx) * (ty - y0), -(ty - y0), (x1 - tx)),
+        (x1, y1, (tx - x0) * (ty - y0), (ty - y0), (tx - x0)),
+    )
+    for xi, yi, w, dwdx, dwdy in taps:
+        inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & finite
+        flat = (jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)).astype(jnp.int32)
+        g_tap = jnp.where(inside[..., None], gflat[barange, flat], 0.0)  # [B,P,C]
+        d_in = d_in + w[..., None] * g_tap
+        gi = jnp.sum(g_tap * src, axis=-1)                               # [B,P]
+        d_fx = d_fx + dwdx * gi
+        d_fy = d_fy + dwdy * gi
+
+    d_in = d_in.reshape(B, H, W, C)
+    d_flow = jnp.stack([d_fx, d_fy], axis=-1).reshape(B, H, W, 2)
+    return d_in, d_flow
+
+
+splat_raw.defvjp(_splat_fwd, _splat_bwd)
+
+
+# ---------------------------------------------------------------- public op
+
+
+def softsplat(ten_in: jnp.ndarray, ten_flow: jnp.ndarray,
+              ten_metric: jnp.ndarray | None = None, mode: Mode | str = "avg",
+              backend: str = "xla") -> jnp.ndarray:
+    """Forward softmax splatting, channel-last.
+
+    ten_in [B, H, W, C]; ten_flow [B, H, W, 2]; ten_metric [B, H, W, 1]
+    (required for 'linear'/'soft'). Mode suffixes '-addeps'/'-zeroeps'/
+    '-clipeps' select the normalization epsilon policy as in the reference
+    wrapper (softsplat.py:252-268).
+    """
+    base = mode.split("-")[0]
+    assert base in ("sum", "avg", "linear", "soft"), mode
+    dt = ten_in.dtype
+    x = ten_in.astype(jnp.float32)
+    f = ten_flow.astype(jnp.float32)
+
+    if base == "sum":
+        assert ten_metric is None
+        return splat_raw(x, f, backend).astype(dt)
+
+    if base == "avg":
+        assert ten_metric is None
+        ones = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
+        x = jnp.concatenate([x, ones], axis=-1)
+    elif base == "linear":
+        m = ten_metric.astype(jnp.float32)
+        x = jnp.concatenate([x * m, m], axis=-1)
+    elif base == "soft":
+        m = jnp.exp(ten_metric.astype(jnp.float32))
+        x = jnp.concatenate([x * m, m], axis=-1)
+
+    out = splat_raw(x, f, backend)
+    norm = out[..., -1:]
+    parts = mode.split("-")
+    if len(parts) == 1 or parts[1] == "addeps":
+        norm = norm + 1e-7
+    elif parts[1] == "zeroeps":
+        norm = jnp.where(norm == 0.0, 1.0, norm)
+    elif parts[1] == "clipeps":
+        norm = jnp.clip(norm, 1e-7, None)
+    return (out[..., :-1] / norm).astype(dt)
+
+
+def softsplat_oracle_np(inp: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """Slow numpy loop oracle (test-only), mirrors the CUDA kernel directly."""
+    B, H, W, C = inp.shape
+    out = np.zeros_like(inp, dtype=np.float64)
+    for b in range(B):
+        for y in range(H):
+            for x in range(W):
+                fx = float(flow[b, y, x, 0])
+                fy = float(flow[b, y, x, 1])
+                tx, ty = x + fx, y + fy
+                if not (np.isfinite(tx) and np.isfinite(ty)):
+                    continue
+                x0, y0 = int(np.floor(tx)), int(np.floor(ty))
+                for xi, yi, w in (
+                    (x0, y0, (x0 + 1 - tx) * (y0 + 1 - ty)),
+                    (x0 + 1, y0, (tx - x0) * (y0 + 1 - ty)),
+                    (x0, y0 + 1, (x0 + 1 - tx) * (ty - y0)),
+                    (x0 + 1, y0 + 1, (tx - x0) * (ty - y0)),
+                ):
+                    if 0 <= xi < W and 0 <= yi < H:
+                        out[b, yi, xi] += inp[b, y, x] * w
+    return out.astype(np.float32)

@@ -1,0 +1,202 @@
+"""Primitive layers for the SVD UNet family (Flax, NHWC, bf16-ready).
+
+Numerics match torch/diffusers 0.24 primitives so that converted
+checkpoints reproduce reference activations:
+- sinusoidal timestep embedding (flip_sin_to_cos=True, downscale_freq_shift=0)
+- GroupNorm over channel-last layout, fp32 statistics
+- Attention: qkv bias-free, out-proj bias, scale 1/sqrt(head_dim)
+- GEGLU feed-forward
+Module/parameter names mirror diffusers so the torch->jax converter is a
+name map plus kernel transposes (OIHW -> HWIO).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def get_timestep_embedding(timesteps: jnp.ndarray, embedding_dim: int,
+                           flip_sin_to_cos: bool = True,
+                           downscale_freq_shift: float = 0.0,
+                           max_period: float = 10000.0) -> jnp.ndarray:
+    """diffusers get_timestep_embedding; timesteps [N] -> [N, embedding_dim], fp32."""
+    half_dim = embedding_dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over NHWC (or N...C) with fp32 statistics."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, (c, g)
+        dt = x.dtype
+        xf = x.astype(jnp.float32)
+        shape = xf.shape
+        xg = xf.reshape(shape[0], -1, g, c // g)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
+        xf = xg.reshape(shape)
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return (xf * scale + bias).astype(dt)
+
+
+class Conv(nn.Module):
+    """3x3/1x1 conv wrapper, NHWC, optional zero-init (ControlNet zero convs)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    zero_init: bool = False
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        bias_init = nn.initializers.zeros
+        k = self.kernel_size
+        return nn.Conv(
+            self.features, (k, k), strides=(self.stride, self.stride),
+            padding=[(k // 2, k // 2)] * 2, use_bias=self.use_bias,
+            kernel_init=init, bias_init=bias_init,
+            param_dtype=self.param_dtype, dtype=x.dtype,
+        )(x)
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+    zero_init: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Dense(self.features, use_bias=self.use_bias, kernel_init=init,
+                        param_dtype=self.param_dtype, dtype=x.dtype)(x)
+
+
+class TimestepEmbedding(nn.Module):
+    """linear_1 -> silu -> linear_2 (diffusers TimestepEmbedding)."""
+
+    time_embed_dim: int
+    out_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, sample):
+        sample = Dense(self.time_embed_dim, name="linear_1")(sample)
+        sample = nn.silu(sample)
+        sample = Dense(self.out_dim or self.time_embed_dim, name="linear_2")(sample)
+        return sample
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dt = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return (xf * scale + bias).astype(dt)
+
+
+class Attention(nn.Module):
+    """diffusers Attention: to_q/to_k/to_v (no bias) + to_out (bias)."""
+
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None  # None => self-attention dims
+
+    @nn.compact
+    def __call__(self, hidden_states, encoder_hidden_states=None):
+        inner = self.heads * self.dim_head
+        ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        q = Dense(inner, use_bias=False, name="to_q")(hidden_states)
+        k = Dense(inner, use_bias=False, name="to_k")(ctx)
+        v = Dense(inner, use_bias=False, name="to_v")(ctx)
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        q = q.reshape(b, lq, self.heads, self.dim_head)
+        k = k.reshape(b, lk, self.heads, self.dim_head)
+        v = v.reshape(b, lk, self.heads, self.dim_head)
+        from mofa_tpu.kernels.attention import dot_product_attention
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, lq, inner)
+        return Dense(hidden_states.shape[-1], name="to_out_0")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward: proj (dim -> 8*dim), geglu, proj out (4*dim -> dim)."""
+
+    dim_out: Optional[int] = None
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        h = Dense(inner * 2, name="net_0_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return Dense(self.dim_out or dim, name="net_2")(h)
+
+
+class AlphaBlender(nn.Module):
+    """Learned spatial/temporal mixing (diffusers AlphaBlender).
+
+    merge_strategy: "learned" (sigmoid(mix_factor) everywhere) or
+    "learned_with_images" (alpha=1 where image_only_indicator else sigmoid).
+    """
+
+    merge_strategy: str = "learned_with_images"
+    switch_spatial_to_temporal_mix: bool = False
+
+    @nn.compact
+    def __call__(self, x_spatial, x_temporal, image_only_indicator=None):
+        mix = self.param("mix_factor", nn.initializers.constant(0.5), (1,), jnp.float32)
+        if self.merge_strategy == "learned":
+            alpha = jax.nn.sigmoid(mix)[0]
+        elif self.merge_strategy == "learned_with_images":
+            assert image_only_indicator is not None
+            # image_only_indicator: [B, T]
+            alpha = jnp.where(image_only_indicator.astype(bool),
+                              jnp.ones((), jnp.float32), jax.nn.sigmoid(mix)[0])
+            bsz, t = image_only_indicator.shape
+            if x_spatial.shape[0] == bsz * t:       # [B*T, ...] layout
+                alpha = alpha.reshape((bsz * t,) + (1,) * (x_spatial.ndim - 1))
+            else:                                    # [B, T, ...] layout
+                alpha = alpha.reshape((bsz, t) + (1,) * (x_spatial.ndim - 2))
+        else:
+            raise ValueError(self.merge_strategy)
+        alpha = alpha.astype(x_spatial.dtype)
+        if self.switch_spatial_to_temporal_mix:
+            alpha = 1.0 - alpha
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal

@@ -1,0 +1,185 @@
+"""Frozen SVD-XT spatio-temporal UNet, ControlNet-residual-aware (Flax, NHWC).
+
+Re-derivation of `UNetSpatioTemporalConditionControlNetModel`
+(/root/reference/MOFA-Video-Traj/models/unet_spatio_temporal_condition_controlnet.py:32-502)
+on top of the diffusers-0.24 SVD UNet architecture.
+
+Bug-compat quirk replicated (default on, gated by `residual_readd_quirk`):
+the reference adds ControlNet residuals inside the down-block loop by
+re-zipping the *growing* skip tuple against the residual list each
+iteration (unet...controlnet.py:451-459), so residual k is re-added once
+per subsequent down block — effective multiplicities [4,4,4,4,3,3,3,2,2,2,1,1]
+for the standard 4-block config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mofa_tpu.models.layers import (
+    GroupNorm, Conv, TimestepEmbedding, get_timestep_embedding,
+)
+from mofa_tpu.models.unet_blocks import (
+    DownBlockSpatioTemporal, CrossAttnDownBlockSpatioTemporal,
+    UNetMidBlockSpatioTemporal, UpBlockSpatioTemporal,
+    CrossAttnUpBlockSpatioTemporal,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SVDUNetConfig:
+    in_channels: int = 8
+    out_channels: int = 4
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlockSpatioTemporal",
+        "CrossAttnDownBlockSpatioTemporal",
+        "CrossAttnDownBlockSpatioTemporal",
+        "DownBlockSpatioTemporal",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlockSpatioTemporal",
+        "CrossAttnUpBlockSpatioTemporal",
+        "CrossAttnUpBlockSpatioTemporal",
+        "CrossAttnUpBlockSpatioTemporal",
+    )
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 768
+    layers_per_block: int = 2
+    cross_attention_dim: int = 1024
+    transformer_layers_per_block: int = 1
+    num_attention_heads: Tuple[int, ...] = (5, 10, 20, 20)
+    num_frames: int = 25
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+TINY_UNET_CONFIG = SVDUNetConfig(
+    block_out_channels=(32, 64, 64, 64),
+    num_attention_heads=(2, 4, 4, 4),
+    cross_attention_dim=32,
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=24,
+)
+
+
+def embed_timestep_and_ids(cfg: SVDUNetConfig, module: nn.Module, timesteps,
+                           added_time_ids, batch_size: int, dtype):
+    """Shared time/added-time embedding trunk (UNet + ControlNet)."""
+    t_emb = get_timestep_embedding(
+        jnp.broadcast_to(jnp.atleast_1d(timesteps), (batch_size,)),
+        cfg.block_out_channels[0]).astype(dtype)
+    emb = TimestepEmbedding(cfg.time_embed_dim, name="time_embedding",
+                            parent=module)(t_emb)
+    time_embeds = get_timestep_embedding(
+        added_time_ids.reshape(-1), cfg.addition_time_embed_dim)
+    time_embeds = time_embeds.reshape(batch_size, -1).astype(dtype)
+    aug_emb = TimestepEmbedding(cfg.time_embed_dim, name="add_embedding",
+                                parent=module)(time_embeds)
+    return emb + aug_emb
+
+
+def apply_residuals_with_quirk(down_block_res_samples: tuple, residuals, upto: int,
+                               quirk: bool):
+    """Re-add residuals[0:upto] onto the first `upto` skip samples (quirk) or
+    add each residual exactly once (fixed mode handled by caller)."""
+    if residuals is None:
+        return down_block_res_samples
+    new = []
+    for i, s in enumerate(down_block_res_samples):
+        if i < upto:
+            s = s + residuals[i].astype(s.dtype)
+        new.append(s)
+    return tuple(new)
+
+
+class UNetSpatioTemporalConditionModel(nn.Module):
+    cfg: SVDUNetConfig = SVDUNetConfig()
+    residual_readd_quirk: bool = True
+
+    @nn.compact
+    def __call__(self, sample, timestep, encoder_hidden_states, added_time_ids,
+                 down_block_additional_residuals: Optional[Sequence] = None,
+                 mid_block_additional_residual=None):
+        """sample [B, T, H, W, C_in]; encoder_hidden_states [B, S, D];
+        added_time_ids [B, 3]. Returns [B, T, H, W, C_out]."""
+        cfg = self.cfg
+        bsz, num_frames = sample.shape[:2]
+        dtype = sample.dtype
+
+        emb = embed_timestep_and_ids(cfg, self, timestep, added_time_ids, bsz, dtype)
+
+        x = sample.reshape((bsz * num_frames,) + sample.shape[2:])
+        emb = jnp.repeat(emb, num_frames, axis=0)
+        ehs = jnp.repeat(encoder_hidden_states, num_frames, axis=0)
+        image_only_indicator = jnp.zeros((bsz, num_frames), dtype=dtype)
+
+        x = Conv(cfg.block_out_channels[0], 3, name="conv_in")(x)
+
+        down_block_res_samples = (x,)
+        residuals = down_block_additional_residuals
+        if residuals is not None and not self.residual_readd_quirk:
+            # "fixed" semantics: each residual added exactly once at the end
+            pass
+
+        for i, bt in enumerate(cfg.down_block_types):
+            out_ch = cfg.block_out_channels[i]
+            is_final = i == len(cfg.block_out_channels) - 1
+            if bt == "CrossAttnDownBlockSpatioTemporal":
+                x, res = CrossAttnDownBlockSpatioTemporal(
+                    out_ch, cfg.num_attention_heads[i], cfg.layers_per_block,
+                    cfg.transformer_layers_per_block, cfg.cross_attention_dim,
+                    add_downsample=not is_final, name=f"down_blocks_{i}",
+                )(x, emb, ehs, image_only_indicator)
+            else:
+                x, res = DownBlockSpatioTemporal(
+                    out_ch, cfg.layers_per_block, add_downsample=not is_final,
+                    name=f"down_blocks_{i}")(x, emb, image_only_indicator)
+            down_block_res_samples += res
+            if residuals is not None and self.residual_readd_quirk:
+                down_block_res_samples = apply_residuals_with_quirk(
+                    down_block_res_samples, residuals,
+                    upto=len(down_block_res_samples), quirk=True)
+
+        if residuals is not None and not self.residual_readd_quirk:
+            down_block_res_samples = tuple(
+                s + r.astype(s.dtype)
+                for s, r in zip(down_block_res_samples, residuals))
+
+        x = UNetMidBlockSpatioTemporal(
+            cfg.block_out_channels[-1], cfg.num_attention_heads[-1],
+            cfg.transformer_layers_per_block, cfg.cross_attention_dim,
+            name="mid_block")(x, emb, ehs, image_only_indicator)
+        if mid_block_additional_residual is not None:
+            x = x + mid_block_additional_residual.astype(x.dtype)
+
+        n_up = len(cfg.up_block_types)
+        for i, bt in enumerate(cfg.up_block_types):
+            rev = list(reversed(cfg.block_out_channels))
+            out_ch = rev[i]
+            num_layers = cfg.layers_per_block + 1
+            res = down_block_res_samples[-num_layers:]
+            down_block_res_samples = down_block_res_samples[:-num_layers]
+            is_final = i == n_up - 1
+            heads_rev = list(reversed(cfg.num_attention_heads))
+            if bt == "CrossAttnUpBlockSpatioTemporal":
+                x = CrossAttnUpBlockSpatioTemporal(
+                    out_ch, heads_rev[i], num_layers,
+                    cfg.transformer_layers_per_block, cfg.cross_attention_dim,
+                    add_upsample=not is_final, name=f"up_blocks_{i}",
+                )(x, res, emb, ehs, image_only_indicator)
+            else:
+                x = UpBlockSpatioTemporal(
+                    out_ch, num_layers, add_upsample=not is_final,
+                    name=f"up_blocks_{i}")(x, res, emb, image_only_indicator)
+
+        x = GroupNorm(32, 1e-5, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = Conv(cfg.out_channels, 3, name="conv_out")(x)
+        return x.reshape((bsz, num_frames) + x.shape[1:])

@@ -1,0 +1,115 @@
+"""Spatial + temporal transformer blocks of the SVD UNet (Flax, NHWC).
+
+Re-derivation of diffusers-0.24 `BasicTransformerBlock`,
+`TemporalBasicTransformerBlock` and `TransformerSpatioTemporalModel` —
+the attention stack consumed by the reference ControlNet/UNet
+(/root/reference/MOFA-Video-Traj/models/controlnet_sdv.py:33-36).
+
+Temporal attention attends over frames for every spatial token
+([B*H*W, T, C] layout) and cross-attends to the *first frame's* CLIP
+embedding; a learned AlphaBlender merges spatial/temporal streams.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mofa_tpu.models.layers import (
+    Attention, FeedForward, GroupNorm, LayerNorm, Dense, AlphaBlender,
+    get_timestep_embedding, TimestepEmbedding,
+)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, encoder_hidden_states=None):
+        h = LayerNorm(name="norm1")(x)
+        x = Attention(self.heads, self.dim_head, name="attn1")(h) + x
+        if self.cross_attention_dim is not None:
+            h = LayerNorm(name="norm2")(x)
+            x = Attention(self.heads, self.dim_head, self.cross_attention_dim,
+                          name="attn2")(h, encoder_hidden_states) + x
+        h = LayerNorm(name="norm3")(x)
+        return FeedForward(name="ff")(h) + x
+
+
+class TemporalBasicTransformerBlock(nn.Module):
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, num_frames: int, encoder_hidden_states=None):
+        # x: [B*T, L, C] -> attention over frames per spatial token
+        bf, seq, ch = x.shape
+        bsz = bf // num_frames
+        x = x.reshape(bsz, num_frames, seq, ch).transpose(0, 2, 1, 3)
+        x = x.reshape(bsz * seq, num_frames, ch)
+
+        residual = x
+        x = LayerNorm(name="norm_in")(x)
+        x = FeedForward(name="ff_in")(x)
+        x = x + residual
+
+        h = LayerNorm(name="norm1")(x)
+        x = Attention(self.heads, self.dim_head, name="attn1")(h) + x
+        if self.cross_attention_dim is not None:
+            h = LayerNorm(name="norm2")(x)
+            x = Attention(self.heads, self.dim_head, self.cross_attention_dim,
+                          name="attn2")(h, encoder_hidden_states) + x
+        h = LayerNorm(name="norm3")(x)
+        x = FeedForward(name="ff")(h) + x
+
+        x = x.reshape(bsz, seq, num_frames, ch).transpose(0, 2, 1, 3)
+        return x.reshape(bf, seq, ch)
+
+
+class TransformerSpatioTemporalModel(nn.Module):
+    heads: int
+    dim_head: int
+    num_layers: int = 1
+    cross_attention_dim: Optional[int] = 1024
+
+    @nn.compact
+    def __call__(self, x, encoder_hidden_states, image_only_indicator):
+        # x: [B*T, H, W, C]; encoder_hidden_states: [B*T, S, D]
+        bf, h, w, ch = x.shape
+        bsz, num_frames = image_only_indicator.shape
+        inner = self.heads * self.dim_head
+
+        # temporal cross-attn context = first frame's CLIP tokens per spatial pos
+        tc = encoder_hidden_states.reshape(bsz, num_frames, -1, encoder_hidden_states.shape[-1])[:, 0]
+        time_context = jnp.broadcast_to(tc[:, None], (bsz, h * w) + tc.shape[1:])
+        time_context = time_context.reshape(bsz * h * w, *tc.shape[1:])
+
+        residual = x
+        x = GroupNorm(32, 1e-6, name="norm")(x)
+        x = x.reshape(bf, h * w, ch)
+        x = Dense(inner, name="proj_in")(x)
+
+        # frame-index positional embedding for the temporal stream
+        frame_ids = jnp.tile(jnp.arange(num_frames), bsz)
+        t_emb = get_timestep_embedding(frame_ids, inner)
+        emb = TimestepEmbedding(inner * 4, out_dim=inner, name="time_pos_embed")(
+            t_emb.astype(x.dtype))
+        emb = emb[:, None, :]
+
+        for i in range(self.num_layers):
+            x_spatial = BasicTransformerBlock(
+                self.heads, self.dim_head, self.cross_attention_dim,
+                name=f"transformer_blocks_{i}")(x, encoder_hidden_states)
+            x_mix = x_spatial + emb
+            x_mix = TemporalBasicTransformerBlock(
+                self.heads, self.dim_head, self.cross_attention_dim,
+                name=f"temporal_transformer_blocks_{i}")(x_mix, num_frames, time_context)
+            x = AlphaBlender(name="time_mixer")(x_spatial, x_mix, image_only_indicator)
+
+        x = Dense(ch, name="proj_out")(x)
+        return x.reshape(bf, h, w, ch) + residual
