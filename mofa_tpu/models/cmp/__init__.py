@@ -1,0 +1,1 @@
+from mofa_tpu.models.cmp.model import CMP, CMPConfig, TINY_CMP_CONFIG, fuser_convert_flow, cmp_preprocess

@@ -1,0 +1,192 @@
+"""torch/diffusers checkpoint -> Flax params converters.
+
+Covers the reference's checkpoint surface (SURVEY.md §5 checkpoint/resume):
+- diffusers safetensors trees (SVD UNet, FlowControlNet adapters, VAE) —
+  loaded via `safetensors` into a flat {name: np.ndarray} dict
+- transformers CLIP vision (+projection)
+- CMP `ckpt_iter_*.pth.tar` (torch.load) with its Sequential index layout
+
+Conversion rules:
+- conv kernels OIHW -> HWIO (3D: OIDHW -> DHWIO), dense [O,I] -> [I,O]
+- norm `weight` -> `scale`; BatchNorm running_mean/var -> mean/var
+- torch list indices fold into names (`down_blocks.0` -> `down_blocks_0`)
+- a tree-walking resolver matches the remaining dotted path against the
+  actual Flax param tree, greedily joining tokens (handles both nested
+  modules and flattened names like `down_blocks_0_resnets_1`) and probing
+  wrapper levels (`Conv_0`, `Dense_0`).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def _to_numpy(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t)
+
+
+def _fold_indices(key: str) -> list[str]:
+    """'a.0.b.weight' -> ['a_0', 'b', 'weight']"""
+    tokens = key.split(".")
+    out = []
+    for tok in tokens:
+        if re.fullmatch(r"\d+", tok) and out:
+            out[-1] = f"{out[-1]}_{tok}"
+        else:
+            out.append(tok)
+    return out
+
+
+_LEAF_RENAMES = {
+    "running_mean": "mean",
+    "running_var": "var",
+}
+
+
+def _transpose_for_flax(leaf_name: str, value: np.ndarray, is_norm: bool):
+    if leaf_name == "weight":
+        if value.ndim == 4:          # conv OIHW -> HWIO
+            return "kernel", value.transpose(2, 3, 1, 0)
+        if value.ndim == 5:          # conv3d OIDHW -> DHWIO
+            return "kernel", value.transpose(2, 3, 4, 1, 0)
+        if value.ndim == 2:          # linear [O, I] -> [I, O]
+            return "kernel", value.transpose(1, 0)
+        if value.ndim == 1:          # norm affine
+            return "scale", value
+    if leaf_name in _LEAF_RENAMES:
+        return _LEAF_RENAMES[leaf_name], value
+    return leaf_name, value
+
+
+def _resolve(tree: dict, tokens: list[str], leaf: str):
+    """Find the path in `tree` matching `tokens` (greedy joining) + leaf.
+
+    Returns the list of keys, or None.
+    """
+    if not tokens:
+        if leaf in tree:
+            return [leaf]
+        # probe wrapper levels
+        for wrapper in ("Conv_0", "Dense_0"):
+            sub = tree.get(wrapper)
+            if isinstance(sub, dict) and leaf in sub:
+                return [wrapper, leaf]
+        return None
+    # try joining 1..len(tokens) leading tokens into a single key
+    for n in range(len(tokens), 0, -1):
+        key = "_".join(tokens[:n])
+        sub = tree.get(key)
+        if isinstance(sub, dict):
+            rest = _resolve(sub, tokens[n:], leaf)
+            if rest is not None:
+                return [key] + rest
+    return None
+
+
+def convert_torch_state_dict(flax_params: dict, torch_sd: Dict[str, np.ndarray],
+                             strip_prefixes=("module.",),
+                             strict: bool = True) -> dict:
+    """Fill a (copy of a) Flax param tree from a flat torch state dict."""
+    import copy
+
+    params = copy.deepcopy(flax_params)
+    root = params["params"] if "params" in params else params
+    unmatched = []
+    for key, val in torch_sd.items():
+        for p in strip_prefixes:
+            if key.startswith(p):
+                key = key[len(p):]
+        val = _to_numpy(val)
+        tokens = _fold_indices(key)
+        leaf_raw = tokens.pop()
+        leaf, val_t = _transpose_for_flax(leaf_raw, val, False)
+        path = _resolve(root, tokens, leaf)
+        if path is None and leaf == "scale":
+            # 1-D 'weight' that is actually a bias-less conv/linear? try kernel
+            path = _resolve(root, tokens, "kernel")
+        if path is None:
+            unmatched.append(key)
+            continue
+        node = root
+        for k in path[:-1]:
+            node = node[k]
+        expected = node[path[-1]]
+        if expected.shape != val_t.shape:
+            # norm scale vs dense kernel mismatch resolution
+            if val_t.size == np.prod(expected.shape):
+                val_t = val_t.reshape(expected.shape)
+            else:
+                raise ValueError(
+                    f"shape mismatch for {key}: got {val_t.shape}, expected {expected.shape}")
+        node[path[-1]] = val_t.astype(np.asarray(expected).dtype)
+    if strict and unmatched:
+        raise KeyError(f"{len(unmatched)} unmatched torch keys, e.g. {unmatched[:8]}")
+    return params
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    return load_file(path)
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    for k in ("state_dict", "model", "module"):
+        if isinstance(sd, dict) and k in sd and isinstance(sd[k], dict):
+            sd = sd[k]
+    return {k: _to_numpy(v) for k, v in sd.items() if hasattr(v, "shape")}
+
+
+# ----------------------------------------------------------------- CMP
+
+_CMP_SEQ_CONV_BN = {
+    # torch Sequential index -> (our block index, 'conv'|'bn')
+    # conv,BN,ReLU x3 (decoder1: no leading pool)
+    "nopool": {0: (0, "conv"), 1: (0, "bn"), 3: (1, "conv"), 4: (1, "bn"),
+               6: (2, "conv"), 7: (2, "bn")},
+    # MaxPool,conv,BN,ReLU x3 (decoder2/4/8)
+    "pool": {1: (0, "conv"), 2: (0, "bn"), 4: (1, "conv"), 5: (1, "bn"),
+             7: (2, "conv"), 8: (2, "bn")},
+}
+
+
+def remap_cmp_key(key: str) -> str | None:
+    """Map reference CMP param names onto our module naming before generic
+    conversion. Returns None for keys to skip."""
+    key = re.sub(r"^(module\.)+", "", key)
+    if key.startswith("num_batches_tracked") or key.endswith("num_batches_tracked"):
+        return None
+    m = re.match(r"flow_decoder\.(decoder[1248])\.(\d+)\.(.+)", key)
+    if m:
+        dec, idx, rest = m.group(1), int(m.group(2)), m.group(3)
+        table = _CMP_SEQ_CONV_BN["nopool" if dec == "decoder1" else "pool"]
+        if idx not in table:
+            return None
+        bi, kind = table[idx]
+        return f"flow_decoder.{dec}_{bi}.{kind}.{rest}"
+    m = re.match(r"flow_decoder\.(fusion[248]|skipconv[24]|fusion8)\.(\d+)\.(.+)", key)
+    if m:
+        name, idx, rest = m.group(1), int(m.group(2)), m.group(3)
+        kind = {0: "conv", 1: "bn"}.get(idx)
+        if kind is None:
+            return None
+        return f"flow_decoder.{name}.{kind}.{rest}"
+    return key
+
+
+def convert_cmp_state_dict(flax_params: dict, torch_sd: Dict[str, np.ndarray],
+                           strict: bool = True) -> dict:
+    remapped = {}
+    for k, v in torch_sd.items():
+        nk = remap_cmp_key(k)
+        if nk is not None:
+            remapped[nk] = v
+    return convert_torch_state_dict(flax_params, remapped, strict=strict)
