@@ -130,11 +130,12 @@ class AutoencoderKLTemporalDecoder(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.cfg)
         self.decoder = TemporalDecoder(self.cfg)
+        self.quant_conv = Conv(2 * self.cfg.latent_channels, 1)
 
     def encode_mode(self, x):
         """x [N, H, W, 3] in [-1, 1] -> latent mean [N, H/8, W/8, 4]."""
         moments = self.encoder(x)
-        moments = Conv(2 * self.cfg.latent_channels, 1, name="quant_conv")(moments)
+        moments = self.quant_conv(moments)
         return moments[..., : self.cfg.latent_channels]
 
     def decode(self, z, num_frames: int):

@@ -1,0 +1,135 @@
+"""Shared pipeline pieces: model bundle, encoders, CFG helpers, VAE decode.
+
+Mirrors FlowControlNetPipeline internals
+(/root/reference/MOFA-Video-Traj/pipeline/pipeline.py) as pure functions
+over a `ModelBundle` of Flax modules + params. All image tensors are
+channel-last; frames layout [B, T, H, W, C].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mofa_tpu.models.clip_vision import CLIPVisionModelWithProjection, CLIPVisionConfig
+from mofa_tpu.models.mofa_adapter import FlowControlNet, LdmkFlowControlNet
+from mofa_tpu.models.svd_unet import UNetSpatioTemporalConditionModel, SVDUNetConfig
+from mofa_tpu.models.vae import AutoencoderKLTemporalDecoder, VAEConfig
+from mofa_tpu.ops.resize import resize_antialias_hw
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    unet: UNetSpatioTemporalConditionModel
+    unet_params: Any
+    controlnet: Any                      # FlowControlNet | LdmkFlowControlNet
+    controlnet_params: Any
+    vae: AutoencoderKLTemporalDecoder
+    vae_params: Any
+    clip: CLIPVisionModelWithProjection
+    clip_params: Any
+    # optional second adapter (Hybrid dual-control)
+    controlnet2: Any = None
+    controlnet2_params: Any = None
+
+    @classmethod
+    def init_random(cls, key, unet_cfg: SVDUNetConfig, vae_cfg: VAEConfig,
+                    clip_cfg: CLIPVisionConfig, ldmk: bool = False,
+                    dual: bool = False, image_size=(64, 64), num_frames=3):
+        """Random-weight bundle (tests / benchmarks without checkpoints)."""
+        h, w = image_size
+        t = num_frames
+        ks = iter(jax.random.split(key, 8))
+        unet = UNetSpatioTemporalConditionModel(unet_cfg)
+        sample = jnp.zeros((1, t, h // 8, w // 8, unet_cfg.in_channels))
+        ehs = jnp.zeros((1, 1, unet_cfg.cross_attention_dim))
+        ids = jnp.zeros((1, 3))
+        unet_params = unet.init(next(ks), sample, 1.0, ehs, ids)
+
+        cond = jnp.zeros((1, h, w, 3))
+        flow = jnp.zeros((1, t - 1, h, w, 2))
+        if ldmk:
+            cn = LdmkFlowControlNet(unet_cfg)
+            lmk = jnp.zeros((1, t, h, w, 3))
+            cn_params = cn.init(next(ks), sample, 1.0, ehs, ids, cond, flow, lmk)
+        else:
+            cn = FlowControlNet(unet_cfg)
+            cn_params = cn.init(next(ks), sample, 1.0, ehs, ids, cond, flow)
+        cn2 = cn2_params = None
+        if dual:
+            cn2 = FlowControlNet(unet_cfg)
+            cn2_params = cn2.init(next(ks), sample, 1.0, ehs, ids, cond, flow)
+
+        vae = AutoencoderKLTemporalDecoder(vae_cfg)
+        vae_params = vae.init(next(ks), jnp.zeros((1, h, w, 3)), num_frames=1)
+        clip = CLIPVisionModelWithProjection(clip_cfg)
+        clip_params = clip.init(
+            next(ks), jnp.zeros((1, clip_cfg.image_size, clip_cfg.image_size, 3)))
+        return cls(unet, unet_params, cn, cn_params, vae, vae_params, clip,
+                   clip_params, cn2, cn2_params)
+
+
+def encode_clip_image(bundle: ModelBundle, image01: jnp.ndarray,
+                      do_cfg: bool) -> jnp.ndarray:
+    """[B, H, W, 3] in [0,1] -> [2B or B, 1, proj_dim].
+
+    Replicates the reference quirk of feeding un-normalized [0,1] pixels
+    through antialiased bicubic resize (pipeline.py:114-133).
+    """
+    size = bundle.clip.cfg.image_size
+    x = jnp.moveaxis(image01, -1, 1)              # to NCHW for hw resize
+    x = resize_antialias_hw(x, (size, size))
+    x = jnp.moveaxis(x, 1, -1)
+    emb = bundle.clip.apply(bundle.clip_params, x)[:, None, :]  # [B, 1, D]
+    if do_cfg:
+        emb = jnp.concatenate([jnp.zeros_like(emb), emb], axis=0)
+    return emb
+
+
+def encode_vae_image(bundle: ModelBundle, image_pm1: jnp.ndarray,
+                     do_cfg: bool) -> jnp.ndarray:
+    """[B, H, W, 3] in [-1,1] -> latent mean [2B or B, h, w, 4] (UNSCALED,
+    matching pipeline.py:143-163)."""
+    lat = bundle.vae.apply(bundle.vae_params, image_pm1,
+                           method=AutoencoderKLTemporalDecoder.encode_mode)
+    if do_cfg:
+        lat = jnp.concatenate([jnp.zeros_like(lat), lat], axis=0)
+    return lat
+
+
+def decode_latents(bundle: ModelBundle, latents: jnp.ndarray,
+                   decode_chunk_size: int = 8, vae_params=None) -> jnp.ndarray:
+    """[B, T, h, w, 4] -> frames [B, T, H, W, 3] fp32 in [-1,1].
+
+    Chunked temporal decode with chunk-local temporal convs, matching
+    pipeline.py:194-220 (each chunk is its own 'video').
+    """
+    vae_params = bundle.vae_params if vae_params is None else vae_params
+    b, t = latents.shape[:2]
+    flat = latents.reshape((b * t,) + latents.shape[2:])
+    flat = flat / bundle.vae.cfg.scaling_factor
+    frames = []
+    for i in range(0, b * t, decode_chunk_size):
+        chunk = flat[i:i + decode_chunk_size]
+        dec = bundle.vae.apply(vae_params, chunk, chunk.shape[0],
+                               method=AutoencoderKLTemporalDecoder.decode)
+        frames.append(dec.astype(jnp.float32))
+    out = jnp.concatenate(frames, axis=0)
+    return out.reshape((b, t) + out.shape[1:])
+
+
+def get_add_time_ids(fps: float, motion_bucket_id: float, noise_aug: float,
+                     batch_size: int, do_cfg: bool) -> jnp.ndarray:
+    ids = jnp.asarray([[fps, motion_bucket_id, noise_aug]], jnp.float32)
+    ids = jnp.tile(ids, (batch_size, 1))
+    if do_cfg:
+        ids = jnp.concatenate([ids, ids], axis=0)
+    return ids
+
+
+def postprocess_frames(frames_pm1: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] -> [0,1] clipped (VaeImageProcessor.postprocess 'np')."""
+    return jnp.clip(frames_pm1 / 2 + 0.5, 0.0, 1.0)

@@ -1,0 +1,141 @@
+"""Trajectory pipeline: single-adapter SVD denoise loop as a scanned jit program.
+
+Re-derivation of `FlowControlNetPipeline.__call__`
+(/root/reference/MOFA-Video-Traj/pipeline/pipeline.py:282-528) with TPU-first
+restructuring:
+- the MOFA-Adapter's warped feature stack is computed ONCE per video
+  (step/timestep-independent) instead of per denoise step;
+- the 25-step Euler loop is a single `lax.scan` inside one jit program;
+- CFG batch (uncond, cond) rides the leading axis as in the reference.
+
+Bug-compat quirks preserved (default on):
+- `added_time_ids` hardcoded to (fps=6, motion=128, aug=0.02) overriding the
+  user values (pipeline.py:430-440);
+- CLIP sees un-normalized [0,1] pixels (pipeline.py:114-133);
+- per-frame guidance linspace(min, max) (pipeline.py:423-428).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mofa_tpu.ops.euler import make_euler_schedule, euler_step, scale_model_input
+from mofa_tpu.pipelines.common import (
+    ModelBundle, encode_clip_image, encode_vae_image, decode_latents,
+    get_add_time_ids, postprocess_frames,
+)
+
+
+class TrajPipeline:
+    def __init__(self, bundle: ModelBundle, bug_compat: bool = True):
+        self.bundle = bundle
+        self.bug_compat = bug_compat
+
+    def __call__(self, image01: jnp.ndarray, controlnet_flow: jnp.ndarray,
+                 num_inference_steps: int = 25,
+                 min_guidance_scale: float = 1.0, max_guidance_scale: float = 3.0,
+                 fps: int = 7, motion_bucket_id: int = 127,
+                 noise_aug_strength: float = 0.02,
+                 controlnet_cond_scale: float = 1.0,
+                 decode_chunk_size: int = 8,
+                 key: Optional[jax.Array] = None,
+                 latents: Optional[jnp.ndarray] = None,
+                 output_type: str = "np"):
+        """image01: [B, H, W, 3] first frame in [0,1] (already sized /64);
+        controlnet_flow: [B, T-1, H, W, 2]. Returns (frames [B,T,H,W,3] in
+        [0,1] (or latents), controlnet_flow)."""
+        b = image01.shape[0]
+        t = controlnet_flow.shape[1] + 1
+        h, w = image01.shape[1:3]
+        key = key if key is not None else jax.random.PRNGKey(42)
+        k_noise, k_aug, k_lat = jax.random.split(key, 3)
+
+        sched = make_euler_schedule(num_inference_steps)
+
+        image_embeddings = encode_clip_image(self.bundle, image01, do_cfg=True)
+
+        image_pm1 = image01 * 2.0 - 1.0
+        image_pm1 = image_pm1 + noise_aug_strength * jax.random.normal(
+            k_aug, image_pm1.shape, image_pm1.dtype)
+        image_latents = encode_vae_image(self.bundle, image_pm1, do_cfg=True)
+        image_latents = jnp.repeat(image_latents[:, None], t, axis=1)  # [2B,T,h,w,4]
+
+        if self.bug_compat:
+            added_time_ids = get_add_time_ids(6, 128, 0.02, b, do_cfg=True)
+        else:
+            added_time_ids = get_add_time_ids(fps - 1, motion_bucket_id,
+                                              noise_aug_strength, b, do_cfg=True)
+
+        latent_c = self.bundle.unet.cfg.in_channels // 2
+        if latents is None:
+            latents = jax.random.normal(k_lat, (b, t, h // 8, w // 8, latent_c),
+                                        jnp.float32)
+        latents = latents * sched.init_noise_sigma
+
+        # CFG inputs for the adapter
+        cond_image = jnp.concatenate([image01 * 2.0 - 1.0] * 2, axis=0)
+        flow_cfg = jnp.concatenate([controlnet_flow] * 2, axis=0)
+
+        guidance = jnp.linspace(min_guidance_scale, max_guidance_scale, t)
+        guidance = guidance[None, :, None, None, None]
+
+        sigmas = jnp.asarray(sched.sigmas)
+        timesteps = jnp.asarray(sched.timesteps)
+
+        frames = self._denoise_and_decode(
+            self.bundle.unet_params, self.bundle.controlnet_params,
+            self.bundle.vae_params, latents, image_latents, image_embeddings,
+            added_time_ids, cond_image, flow_cfg, guidance, sigmas, timesteps,
+            jnp.float32(controlnet_cond_scale),
+            num_steps=num_inference_steps, decode_chunk_size=decode_chunk_size,
+            return_latent=output_type == "latent")
+        if output_type == "latent":
+            return frames, controlnet_flow
+        return postprocess_frames(frames), controlnet_flow
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_steps",
+                                                 "decode_chunk_size",
+                                                 "return_latent"))
+    def _denoise_and_decode(self, unet_params, cn_params, vae_params, latents,
+                            image_latents, image_embeddings, added_time_ids,
+                            cond_image, flow_cfg, guidance, sigmas, timesteps,
+                            cond_scale, *, num_steps: int,
+                            decode_chunk_size: int, return_latent: bool):
+        bundle = self.bundle
+        # hoist step-independent adapter features (warp once per video)
+        inject = bundle.controlnet.apply(
+            cn_params, cond_image, flow_cfg,
+            method=type(bundle.controlnet).encode_features)
+        if isinstance(inject, tuple):    # ldmk adapter returns (inject, occ_masks)
+            inject = inject[0]
+
+        def step_fn(lat, idx):
+            sigma = sigmas[idx]
+            sigma_next = sigmas[idx + 1]
+            ts = timesteps[idx]
+            latent_in = jnp.concatenate([lat] * 2, axis=0)
+            latent_in = scale_model_input(latent_in, sigma)
+            latent_in = jnp.concatenate([latent_in, image_latents], axis=-1)
+
+            down_res, mid_res = bundle.controlnet.apply(
+                cn_params, latent_in, ts, image_embeddings,
+                added_time_ids, conditioning_scale=cond_scale,
+                precomputed_features=inject)
+            noise_pred = bundle.unet.apply(
+                unet_params, latent_in, ts, image_embeddings, added_time_ids,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res)
+            uncond, cond = jnp.split(noise_pred, 2, axis=0)
+            noise_pred = uncond + guidance.astype(cond.dtype) * (cond - uncond)
+            new_lat, _ = euler_step(noise_pred, lat, sigma, sigma_next)
+            return new_lat, None
+
+        latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(num_steps))
+        if return_latent:
+            return latents
+        return decode_latents(bundle, latents, decode_chunk_size,
+                              vae_params=vae_params)
