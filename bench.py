@@ -1,0 +1,139 @@
+"""Benchmark: denoised frames/sec/chip at 576x1024 (the BASELINE.json metric).
+
+Runs the denoise hot loop — CFG2 x (FlowControlNet + frozen SVD UNet +
+Euler step) scanned over 25 steps — on one chip, bf16, with the full SVD
+channel config and Pallas flash attention over the 72x128=9216 spatial
+tokens. Frame count T=7 is the per-chip share of a frame-sharded v5e-8
+deployment (25 frames / 8 chips, rounded to the sliding-window anchor+6);
+"denoised frames/sec/chip" = T / time(full 25-step scan).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+anchor is the north-star target from BASELINE.json — 25 frames in <20 s
+on v5e-8 = 0.15625 frames/sec/chip. vs_baseline = value / 0.15625.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _log(msg):
+    if os.environ.get("BENCH_VERBOSE"):
+        print(msg, file=sys.stderr, flush=True)
+
+import jax
+import jax.numpy as jnp
+
+H, W = 576, 1024
+T = 7
+STEPS = 25
+TARGET_FPS_PER_CHIP = 25.0 / 20.0 / 8.0  # north-star: 25f < 20s on v5e-8
+
+
+def main():
+    from mofa_tpu.models.svd_unet import SVDUNetConfig, MICRO_UNET_CONFIG
+    from mofa_tpu.ops.euler import make_euler_schedule, scale_model_input, euler_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg, h, w, t, steps = SVDUNetConfig(), H, W, T, STEPS
+    else:  # CPU smoke fallback so the script always emits a line
+        cfg, h, w, t, steps = MICRO_UNET_CONFIG, 64, 64, 3, 2
+
+    import dataclasses
+    from mofa_tpu.models.mofa_adapter import FlowControlNet
+    from mofa_tpu.models.svd_unet import UNetSpatioTemporalConditionModel
+
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    unet = UNetSpatioTemporalConditionModel(cfg)
+    cn = FlowControlNet(cfg)
+
+    key = jax.random.PRNGKey(0)
+    ks = iter(jax.random.split(key, 8))
+    sample = jnp.zeros((1, t, h // 8, w // 8, cfg.in_channels), dtype)
+    ehs = jnp.zeros((1, 1, cfg.cross_attention_dim), dtype)
+    ids = jnp.zeros((1, 3), dtype)
+    cond = jnp.zeros((1, h, w, 3), dtype)
+    flow = jnp.zeros((1, t - 1, h, w, 2), dtype)
+
+    t0 = time.perf_counter()
+    init_jit = jax.jit(unet.init)
+    unet_params = init_jit(next(ks), sample, 1.0, ehs, ids)
+    jax.block_until_ready(unet_params)
+    _log(f"unet init {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    cn_params = jax.jit(cn.init)(next(ks), sample, 1.0, ehs, ids, cond, flow)
+    jax.block_until_ready(cn_params)
+    _log(f"cn init {time.perf_counter()-t0:.1f}s")
+    cast = lambda tree: jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree)
+    unet_params, cn_params = cast(unet_params), cast(cn_params)
+
+    sched = make_euler_schedule(steps)
+    sigmas = jnp.asarray(sched.sigmas, jnp.float32)
+    timesteps = jnp.asarray(sched.timesteps, jnp.float32)
+
+    latents = (jax.random.normal(next(ks), (1, t, h // 8, w // 8, 4), dtype)
+               * sched.init_noise_sigma)
+    image_latents = jnp.zeros((2, t, h // 8, w // 8, 4), dtype)
+    image_embeddings = jnp.zeros((2, 1, cfg.cross_attention_dim), dtype)
+    added_time_ids = jnp.tile(jnp.asarray([[6.0, 128.0, 0.02]], dtype), (2, 1))
+    cond_image = jnp.zeros((2, h, w, 3), dtype)
+    flow_cfg = jnp.zeros((2, t - 1, h, w, 2), dtype)
+    guidance = jnp.linspace(1.0, 3.0, t, dtype=jnp.float32)[None, :, None, None, None]
+
+    @jax.jit
+    def denoise(unet_params, cn_params, latents):
+        # hoist step-independent warped features (traj pipeline structure)
+        inject = cn.apply(cn_params, cond_image, flow_cfg,
+                          method=FlowControlNet.encode_features)
+
+        def step_fn(lat, idx):
+            sigma, sigma_next, ts = sigmas[idx], sigmas[idx + 1], timesteps[idx]
+            latent_in = jnp.concatenate([lat] * 2, axis=0)
+            latent_in = scale_model_input(latent_in, sigma).astype(dtype)
+            latent_in = jnp.concatenate([latent_in, image_latents], axis=-1)
+            down_res, mid_res = cn.apply(
+                cn_params, latent_in, ts, image_embeddings, added_time_ids,
+                precomputed_features=inject)
+            noise_pred = unet.apply(
+                unet_params, latent_in, ts, image_embeddings, added_time_ids,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res)
+            uncond, cond_p = jnp.split(noise_pred.astype(jnp.float32), 2, axis=0)
+            noise_pred = uncond + guidance * (cond_p - uncond)
+            new_lat, _ = euler_step(noise_pred, lat.astype(jnp.float32),
+                                    sigma, sigma_next)
+            return new_lat.astype(dtype), None
+
+        out, _ = jax.lax.scan(step_fn, latents, jnp.arange(steps))
+        return out
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    denoise(unet_params, cn_params, latents).block_until_ready()
+    _log(f"compile+warmup {time.perf_counter()-t0:.1f}s")
+    n_iters = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = denoise(unet_params, cn_params, latents)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    fps = t / dt
+    print(json.dumps({
+        "metric": "denoised_frames_per_sec_per_chip_576x1024",
+        "value": round(fps, 4),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / TARGET_FPS_PER_CHIP, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

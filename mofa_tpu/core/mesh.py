@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 @dataclasses.dataclass(frozen=True)
 class MeshAxes:
     data: str = "data"
+    model: str = "model"
     frames: str = "frames"
 
 
@@ -35,17 +36,24 @@ AXES = MeshAxes()
 def make_mesh(
     data: int = 1,
     frames: int = -1,
+    model: int = 1,
     devices: Sequence[jax.Device] | None = None,
 ) -> Mesh:
-    """Build a (data, frames) mesh. frames=-1 consumes all remaining devices."""
+    """Build a (data, model, frames) mesh. frames=-1 consumes the remainder.
+
+    "data"   — batch / DP axis (gradient psum rides ICI)
+    "model"  — Megatron-style tensor parallelism of attention/MLP kernels
+    "frames" — sequence parallelism over the video-frame axis (only temporal
+               attention/resnets communicate across it)
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if frames == -1:
-        assert n % data == 0, (n, data)
-        frames = n // data
-    assert data * frames == n, f"mesh {data}x{frames} != {n} devices"
-    arr = np.array(devices).reshape(data, frames)
-    return Mesh(arr, (AXES.data, AXES.frames))
+        assert n % (data * model) == 0, (n, data, model)
+        frames = n // (data * model)
+    assert data * model * frames == n, f"mesh {data}x{model}x{frames} != {n}"
+    arr = np.array(devices).reshape(data, model, frames)
+    return Mesh(arr, (AXES.data, AXES.model, AXES.frames))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

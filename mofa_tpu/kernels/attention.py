@@ -11,18 +11,29 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_IMPL = "xla"
+_IMPL = "auto"
+
+# above this sequence length the [L, L] logits matrix is too large to
+# materialize and the Pallas flash kernel takes over (auto mode)
+FLASH_MIN_SEQ = 2048
 
 
 def set_attention_impl(name: str):
     global _IMPL
-    assert name in ("xla", "naive")
+    assert name in ("auto", "xla", "naive", "flash")
     _IMPL = name
 
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """[B, L, H, D] q/k/v -> [B, L, H, D]; softmax in fp32."""
-    if _IMPL == "xla":
+    impl = _IMPL
+    if impl == "auto":
+        big = q.shape[1] * k.shape[1] >= FLASH_MIN_SEQ ** 2
+        impl = "flash" if big else "xla"
+    if impl == "flash":
+        from mofa_tpu.kernels.flash_attention import flash_attention
+        return flash_attention(q, k, v)
+    if impl == "xla":
         return jax.nn.dot_product_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale

@@ -68,6 +68,17 @@ TINY_UNET_CONFIG = SVDUNetConfig(
     projection_class_embeddings_input_dim=24,
 )
 
+# single-layer blocks: cheapest config that still exercises every block type
+# (used by train-step tests / dryrun where XLA CPU compile time dominates)
+MICRO_UNET_CONFIG = SVDUNetConfig(
+    block_out_channels=(32, 64, 64, 64),
+    num_attention_heads=(2, 4, 4, 4),
+    cross_attention_dim=32,
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=24,
+    layers_per_block=1,
+)
+
 
 def embed_timestep_and_ids(cfg: SVDUNetConfig, module: nn.Module, timesteps,
                            added_time_ids, batch_size: int, dtype):

@@ -134,9 +134,19 @@ class AutoencoderKLTemporalDecoder(nn.Module):
 
     def encode_mode(self, x):
         """x [N, H, W, 3] in [-1, 1] -> latent mean [N, H/8, W/8, 4]."""
+        return self.encode_moments(x)[0]
+
+    def encode_moments(self, x):
+        """x [N, H, W, 3] -> (mean, logvar), each [N, H/8, W/8, 4].
+
+        logvar clamped to [-30, 20] as in diffusers DiagonalGaussianDistribution
+        (used by `latent_dist.sample()` in training, Training/train_stage1.py:323).
+        """
         moments = self.encoder(x)
         moments = self.quant_conv(moments)
-        return moments[..., : self.cfg.latent_channels]
+        c = self.cfg.latent_channels
+        mean, logvar = moments[..., :c], moments[..., c:]
+        return mean, jnp.clip(logvar, -30.0, 20.0)
 
     def decode(self, z, num_frames: int):
         """z [B*T, h, w, 4] (already un-scaled) -> frames [B*T, H, W, 3]."""

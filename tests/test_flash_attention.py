@@ -1,0 +1,46 @@
+"""Flash attention vs naive reference: forward + VJP, padded and exact sizes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mofa_tpu.kernels.flash_attention import flash_attention
+
+
+def naive(q, k, v):
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@pytest.mark.parametrize("l", [256, 300, 1024])
+def test_forward_matches_naive(l):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, d = 2, 3, 64
+    q = jax.random.normal(kq, (b, l, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, l, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, l, h, d), jnp.float32)
+    out = flash_attention(q, k, v, 128, 128)
+    ref = naive(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_vjp_matches_naive():
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, l, h, d = 1, 260, 2, 64
+    q = jax.random.normal(kq, (b, l, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, l, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, l, h, d), jnp.float32)
+    g = jax.random.normal(kg, (b, l, h, d), jnp.float32)
+
+    _, vjp_flash = jax.vjp(lambda a, b_, c: flash_attention(a, b_, c, 128, 128),
+                           q, k, v)
+    _, vjp_naive = jax.vjp(naive, q, k, v)
+    for got, want in zip(vjp_flash(g), vjp_naive(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4, rtol=5e-4)
