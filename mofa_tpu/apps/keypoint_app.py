@@ -1,0 +1,93 @@
+"""Keypoint facial-animation CLI — long-video windowed generation.
+
+CLI replacement for `inference_opendomain.py` + `mofa_keypoint.py`
+(/root/reference/MOFA-Video-Keypoint/): image + landmarks.npy (the same
+npy contract the reference's SadTalker/AniPortrait generators emit:
+[T, 68, 2] (x, y) at image coords) -> rasterized landmark video + CMP
+landmark flow -> sliding-window KeypointPipeline -> mp4.
+
+The audio->landmark generators remain an external CPU stage (SURVEY.md §5);
+`mofa_tpu.preprocess.audio` hosts the in-repo reimplementations.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="MOFA-TPU keypoint facial animation")
+    p.add_argument("--image", required=True)
+    p.add_argument("--landmarks", required=True, help="landmarks.npy [T,68,2]")
+    p.add_argument("--output", default="output.mp4")
+    p.add_argument("--svd_dir", default=None)
+    p.add_argument("--controlnet_dir", default=None)
+    p.add_argument("--cmp_ckpt", default=None)
+    p.add_argument("--num_frames", type=int, default=125)
+    p.add_argument("--window_size", type=int, default=25)
+    p.add_argument("--stride", type=int, default=12)
+    p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--target_size", type=int, default=512)
+    p.add_argument("--ctrl_scale", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="micro model configs (smoke tests; no real weights)")
+    return p
+
+
+def run(args):
+    from mofa_tpu.apps.loaders import load_bundle, load_cmp_params, write_video
+    from mofa_tpu.pipelines.keypoint import KeypointPipeline
+    from mofa_tpu.preprocess.traj import preprocess_image
+    from mofa_tpu.preprocess.landmark import (
+        prepare_landmark_flow, draw_landmark_sequence, LandmarkFlowEngine)
+    from mofa_tpu.ops.resize import resize_nhwc
+    from PIL import Image
+
+    image, (h, w) = preprocess_image(Image.open(args.image), args.target_size)
+    landmarks = np.load(args.landmarks)[: args.num_frames]  # [T, 68, 2]
+    t = landmarks.shape[0]
+
+    flow_in = prepare_landmark_flow(landmarks[None], h, w)
+    ldmk_imgs = draw_landmark_sequence(landmarks, h, w)
+
+    engine = LandmarkFlowEngine(load_cmp_params(args.cmp_ckpt))
+    image_j = jnp.asarray(image)[None]
+    image_384 = resize_nhwc(image_j, (384, 384))
+    frames_384 = jnp.repeat(image_384[:, None], t - 1, axis=1)
+    flow = engine.get_cmp_flow_landmarks(
+        frames_384, jnp.asarray(flow_in["sparse_flow_384"]),
+        jnp.asarray(flow_in["mask_384"]), h, w)
+
+    cfg_kw = {}
+    if args.tiny:
+        from mofa_tpu.models.svd_unet import MICRO_UNET_CONFIG
+        from mofa_tpu.models.vae import TINY_VAE_CONFIG
+        from mofa_tpu.models.clip_vision import TINY_CLIP_CONFIG
+        cfg_kw = dict(unet_cfg=MICRO_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG,
+                      clip_cfg=TINY_CLIP_CONFIG)
+    bundle = load_bundle(args.svd_dir, args.controlnet_dir, **cfg_kw, ldmk=True,
+                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                         image_size=(h, w), num_frames=args.window_size)
+    pipe = KeypointPipeline(bundle)
+    frames, _ = pipe(image_j, flow, jnp.asarray(ldmk_imgs)[None],
+                     window_size=args.window_size, stride=args.stride,
+                     num_inference_steps=args.num_inference_steps,
+                     controlnet_cond_scale=args.ctrl_scale,
+                     key=jax.random.PRNGKey(args.seed))
+    write_video(np.asarray(frames)[0], args.output, fps=args.fps)
+    print(f"wrote {args.output} ({t} frames @ {h}x{w})")
+
+
+def main(argv=None):
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()
