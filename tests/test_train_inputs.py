@@ -1,0 +1,139 @@
+"""flow_sampler golden vs reference + dataset decode + stage2 input synth."""
+
+import ast
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from mofa_tpu.train.flow_sampler import flow_sampler, clip_sample_mask
+
+REF_SAMPLER = "/root/reference/Training/train_utils/sample_flow_utils.py"
+
+
+def _ref_sampler_ns():
+    """Exec the reference flow_sampler without its module-level cv2 import
+    side effects (we supply the deps)."""
+    import cv2
+    import scipy.ndimage as ndimage
+    from scipy.ndimage import maximum_filter
+    from scipy import signal
+    import random
+    from PIL import Image, ImageOps
+    src = open(REF_SAMPLER).read()
+    tree = ast.parse(src)
+    keep = [n for n in tree.body if isinstance(n, ast.FunctionDef)]
+    ns = dict(np=np, cv2=cv2, ndimage=ndimage, maximum_filter=maximum_filter,
+              signal=signal, random=random, Image=Image, ImageOps=ImageOps)
+    # reference uses np.int (removed in numpy 2); only the 'full' branch hits it
+    ns["np"] = np
+    exec(compile(ast.Module(body=keep, type_ignores=[]), REF_SAMPLER, "exec"), ns)
+    return ns
+
+
+def _dense_flow(h=96, w=128, seed=0):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    fx = 5 * np.sin(yy / 17.0) + (xx > w // 2) * 8
+    fy = 3 * np.cos(xx / 23.0)
+    return np.stack([fx, fy], -1) + rng.randn(h, w, 2).astype(np.float32) * 0.1
+
+
+def test_grid_strategy_matches_reference():
+    ns = _ref_sampler_ns()
+    flow = _dense_flow()
+    ref_sparse, ref_mask = ns["flow_sampler"](flow, ["grid"])
+    got_sparse, got_mask = flow_sampler(flow, ("grid",))
+    np.testing.assert_array_equal(got_mask, ref_mask)
+    np.testing.assert_allclose(got_sparse, ref_sparse)
+
+
+def test_watershed_strategy_point_set_matches_reference():
+    """watershed involves RNG in neighbor elimination; compare candidate
+    peak sets BEFORE elimination by running both with elimination disabled
+    via monkeypatched rand -> 0 (keeps j, drops i deterministically)."""
+    ns = _ref_sampler_ns()
+    flow = _dense_flow(seed=1)
+
+    class FixedRand:
+        def rand(self, *a):
+            return 0.0 if not a else np.zeros(a)
+
+        def randint(self, *a, **k):
+            return np.random.RandomState(0).randint(*a, **k)
+
+        def permutation(self, n):
+            return np.arange(n)
+
+    # reference path with fixed randomness
+    old_rand = ns["np"].random.rand
+    np.random.rand = lambda *a: 0.0 if not a else np.zeros(a)
+    try:
+        ref_sparse, ref_mask = ns["flow_sampler"](flow, ["watershed"])
+    finally:
+        np.random.rand = old_rand
+
+    rng = FixedRand()
+    got_sparse, got_mask = flow_sampler(flow, ("watershed",), rng=rng)
+    np.testing.assert_array_equal(got_mask, ref_mask)
+    np.testing.assert_allclose(got_sparse, ref_sparse)
+
+
+def test_clip_sample_mask_shape_and_broadcast():
+    rng = np.random.RandomState(0)
+    flows = rng.randn(2, 4, 64, 96, 2).astype(np.float32)
+    mask = clip_sample_mask(flows)
+    assert mask.shape == flows.shape
+    # identical across t (sampled once from last frame)
+    np.testing.assert_array_equal(mask[:, 0], mask[:, -1])
+    assert mask.sum() > 0
+
+
+def test_video_dataset_roundtrip():
+    cv2 = pytest.importorskip("cv2")
+    from mofa_tpu.train.data import WebVidDataset, read_video_clip
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "vids", "0001.mp4")
+        os.makedirs(os.path.dirname(path))
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+        rng = np.random.RandomState(0)
+        for i in range(20):
+            vw.write((rng.rand(48, 64, 3) * 255).astype(np.uint8))
+        vw.release()
+
+        clip = read_video_clip(path, 2, 4, 3, (32, 32))
+        assert clip.shape == (4, 32, 32, 3)
+        assert 0.0 <= clip.min() and clip.max() <= 1.0
+
+        csv_path = os.path.join(d, "meta.csv")
+        with open(csv_path, "w") as f:
+            f.write("videoid,page_dir,name\n0001,vids,test\n")
+        ds = WebVidDataset(csv_path, d, sample_size=32, sample_stride=2,
+                           sample_n_frames=5)
+        batch = next(ds.batches(batch_size=1))
+        assert batch["pixel_values01"].shape == (1, 5, 32, 32, 3)
+
+
+def test_stage2_control_flow_synthesis():
+    import jax
+    import jax.numpy as jnp
+    from mofa_tpu.models.cmp.model import CMP, CMPConfig
+    from mofa_tpu.train.inputs import make_stage2_batch
+
+    # tiny CMP (fewer layers) to keep CPU compile sane
+    cfg = CMPConfig()
+    cmp = CMP(cfg)
+    size = 384
+    params = jax.jit(lambda k: cmp.init(
+        k, jnp.zeros((1, size, size, 3)), jnp.zeros((1, size, size, 2)),
+        jnp.zeros((1, size, size, 2))))(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    px = rng.rand(1, 3, 64, 64, 3).astype(np.float32)
+    flows = rng.randn(1, 2, 64, 64, 2).astype(np.float32) * 4
+    batch = make_stage2_batch(cmp, params, px, flows,
+                              rng=np.random.RandomState(1))
+    assert batch["flows"].shape == (1, 2, 64, 64, 2)
+    assert np.all(np.isfinite(np.asarray(batch["flows"])))
