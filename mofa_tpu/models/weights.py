@@ -190,3 +190,31 @@ def convert_cmp_state_dict(flax_params: dict, torch_sd: Dict[str, np.ndarray],
         if nk is not None:
             remapped[nk] = v
     return convert_torch_state_dict(flax_params, remapped, strict=strict)
+
+
+# ----------------------------------------------------------------- GMFlow
+
+def convert_gmflow_state_dict(flax_params: dict, torch_sd: Dict[str, np.ndarray],
+                              strict: bool = True) -> dict:
+    """UniMatch/GMFlow torch checkpoint -> models/gmflow tree.
+
+    Everything maps via the generic converter except the shared trident conv,
+    which is a raw HWIO param (`backbone/trident_conv_weight`)."""
+    remapped = {}
+    trident = None
+    for k, v in torch_sd.items():
+        k = re.sub(r"^(module\.)+", "", k)
+        if k == "backbone.trident_conv.weight":
+            trident = _to_numpy(v).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            continue
+        if k.startswith("upsampler."):
+            continue  # absent in reg_refine flow models' forward path
+        remapped[k] = v
+    params = convert_torch_state_dict(flax_params, remapped, strict=strict)
+    if trident is not None:
+        root = params["params"] if "params" in params else params
+        tgt = root["backbone"]["trident_conv_weight"]
+        assert tgt.shape == trident.shape, (tgt.shape, trident.shape)
+        root["backbone"]["trident_conv_weight"] = trident.astype(
+            np.asarray(tgt).dtype)
+    return params

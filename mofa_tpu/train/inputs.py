@@ -60,3 +60,14 @@ def make_stage2_batch(cmp, cmp_params, pixel_values01: np.ndarray,
     dense, _ = stage2_control_flow(cmp, cmp_params, pixel_values01, flows,
                                    (h, w), rng=rng)
     return {"pixel_values01": jnp.asarray(pixel_values01), "flows": dense}
+
+
+def make_stage1_batch(gmflow, gmflow_params, pixel_values01,
+                      inference_size=(384, 512)) -> dict:
+    """Stage-1 batch: dense GMFlow teacher flow as the control signal
+    (Training/train_stage1.py:113-143, batched over all frame pairs)."""
+    from mofa_tpu.models.gmflow.model import get_optical_flows
+    px = jnp.asarray(pixel_values01)
+    flows = get_optical_flows(gmflow, gmflow_params, px,
+                              inference_size=inference_size)
+    return {"pixel_values01": px, "flows": flows}
