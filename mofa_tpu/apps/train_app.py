@@ -1,0 +1,230 @@
+"""MOFA-Adapter training CLI (stage 1 / stage 2).
+
+TPU re-derivation of Training/train_stage{1,2}.py's driver loop: WebVid clip
+dataset -> flow teacher (stage1: GMFlow dense flow; stage2: sampled-sparse +
+CMP completion) -> EDM train step -> EMA/checkpoint/validation, with mesh
+sharding (DP/TP/SP) instead of Accelerate DDP. Arg surface mirrors
+train_stage1.sh / train_stage2.sh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="MOFA-TPU adapter training")
+    p.add_argument("--stage", type=int, choices=(1, 2), default=1)
+    p.add_argument("--csv_path", required=True)
+    p.add_argument("--video_folder", required=True)
+    p.add_argument("--output_dir", default="./runs/mofa")
+    p.add_argument("--svd_dir", default=None)
+    p.add_argument("--controlnet_resume", default=None,
+                   help=".npz adapter to initialize from (stage2: stage1 out)")
+    p.add_argument("--gmflow_ckpt", default=None)
+    p.add_argument("--cmp_ckpt", default=None)
+    # train_stage1.sh defaults
+    p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--sample_size", type=int, default=384)
+    p.add_argument("--sample_stride", type=int, default=4)
+    p.add_argument("--sample_n_frames", type=int, default=25)
+    p.add_argument("--num_train_steps", type=int, default=100_000)
+    p.add_argument("--checkpointing_steps", type=int, default=2500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=10)
+    p.add_argument("--validation_steps", type=int, default=2500)
+    p.add_argument("--conditioning_dropout_prob", type=float, default=0.1)
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--seed", type=int, default=23123134)
+    p.add_argument("--resume_from_checkpoint", default=None,
+                   help="'latest' or a step number")
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--mesh_frames", type=int, default=1)
+    p.add_argument("--tiny", action="store_true",
+                   help="micro configs for smoke runs")
+    p.add_argument("--log_every", type=int, default=10)
+    return p
+
+
+def run(args):
+    from mofa_tpu.apps.loaders import load_bundle, load_cmp_params, write_video
+    from mofa_tpu.core.mesh import make_mesh
+    from mofa_tpu.parallel.sharding import shard_params
+    from mofa_tpu.train.checkpoint import (CheckpointManager, export_adapter,
+                                           import_adapter)
+    from mofa_tpu.train.data import WebVidDataset, DevicePrefetcher
+    from mofa_tpu.train.state import TrainState, make_optimizer, STAGE2_FROZEN
+    from mofa_tpu.train.stage import make_train_step, make_grad_accum_train_step
+    from mofa_tpu.utils.logging import get_logger
+    import dataclasses
+    import os
+
+    logger = get_logger("train")
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    mesh = None
+    if args.mesh_data * args.mesh_model * args.mesh_frames > 1:
+        mesh = make_mesh(args.mesh_data, args.mesh_frames, args.mesh_model)
+
+    cfg_kw = {}
+    if args.tiny:
+        from mofa_tpu.models.svd_unet import MICRO_UNET_CONFIG
+        from mofa_tpu.models.vae import TINY_VAE_CONFIG
+        from mofa_tpu.models.clip_vision import TINY_CLIP_CONFIG
+        cfg_kw = dict(unet_cfg=MICRO_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG,
+                      clip_cfg=TINY_CLIP_CONFIG)
+    bundle = load_bundle(args.svd_dir, None, **cfg_kw,
+                         image_size=(args.sample_size, args.sample_size),
+                         num_frames=args.sample_n_frames)
+    if args.controlnet_resume:
+        bundle.controlnet_params = import_adapter(
+            bundle.controlnet_params, args.controlnet_resume)
+    if mesh is not None:
+        bundle = dataclasses.replace(
+            bundle,
+            controlnet_params=shard_params(bundle.controlnet_params, mesh),
+            unet_params=shard_params(bundle.unet_params, mesh))
+
+    # flow teacher
+    if args.stage == 1:
+        from mofa_tpu.models.gmflow.model import GMFlow, GMFlowConfig
+        from mofa_tpu.train.inputs import make_stage1_batch
+        gm_cfg = (GMFlowConfig(num_transformer_layers=2, num_reg_refine=2)
+                  if args.tiny else GMFlowConfig())
+        gmflow = GMFlow(gm_cfg)
+        size = (64, 96) if args.tiny else (384, 512)
+        gm_params = jax.jit(lambda k: gmflow.init(
+            k, jnp.zeros((1,) + size + (3,)), jnp.zeros((1,) + size + (3,))))(
+            jax.random.PRNGKey(0))
+        if args.gmflow_ckpt:
+            from mofa_tpu.models.weights import (load_torch_checkpoint,
+                                                 convert_gmflow_state_dict)
+            gm_params = convert_gmflow_state_dict(
+                gm_params, load_torch_checkpoint(args.gmflow_ckpt))
+        else:
+            logger.warning("no --gmflow_ckpt: teacher runs with random weights")
+        make_batch = lambda px, rng: make_stage1_batch(
+            gmflow, gm_params, px, inference_size=size)
+        frozen = ()
+    else:
+        from mofa_tpu.models.cmp.model import CMP
+        from mofa_tpu.train.inputs import make_stage1_batch, make_stage2_batch
+        cmp_params = load_cmp_params(args.cmp_ckpt)
+        cmp = CMP()
+        # stage2 still needs a dense-flow teacher to sample sparse hints from
+        from mofa_tpu.models.gmflow.model import GMFlow, GMFlowConfig
+        gm_cfg = (GMFlowConfig(num_transformer_layers=2, num_reg_refine=2)
+                  if args.tiny else GMFlowConfig())
+        gmflow = GMFlow(gm_cfg)
+        size = (64, 96) if args.tiny else (384, 512)
+        gm_params = jax.jit(lambda k: gmflow.init(
+            k, jnp.zeros((1,) + size + (3,)), jnp.zeros((1,) + size + (3,))))(
+            jax.random.PRNGKey(0))
+        if args.gmflow_ckpt:
+            from mofa_tpu.models.weights import (load_torch_checkpoint,
+                                                 convert_gmflow_state_dict)
+            gm_params = convert_gmflow_state_dict(
+                gm_params, load_torch_checkpoint(args.gmflow_ckpt))
+
+        def make_batch(px, rng):
+            dense = make_stage1_batch(gmflow, gm_params, px,
+                                      inference_size=size)["flows"]
+            return make_stage2_batch(cmp, cmp_params, np.asarray(px),
+                                     np.asarray(dense), rng=rng)
+        frozen = STAGE2_FROZEN
+
+    tx = make_optimizer(lr=args.learning_rate, frozen_patterns=frozen,
+                        params=bundle.controlnet_params)
+    state = TrainState.create(bundle.controlnet_params, tx, ema=args.use_ema)
+    accum = args.gradient_accumulation_steps
+    if accum > 1:
+        step_fn = jax.jit(make_grad_accum_train_step(
+            bundle, tx, accum, cond_dropout_prob=args.conditioning_dropout_prob,
+            ldmk=False, mesh=mesh))
+    else:
+        step_fn = jax.jit(make_train_step(
+            bundle, tx, cond_dropout_prob=args.conditioning_dropout_prob,
+            ldmk=False, mesh=mesh))
+
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
+                             max_to_keep=args.checkpoints_total_limit,
+                             save_interval_steps=args.checkpointing_steps)
+    start_step = 0
+    if args.resume_from_checkpoint:
+        step_no = (ckpt.latest_step() if args.resume_from_checkpoint == "latest"
+                   else int(args.resume_from_checkpoint))
+        if step_no is not None:
+            state = ckpt.restore(state, step_no)
+            start_step = int(state.step)
+            logger.info(f"resumed from step {start_step}")
+
+    ds = WebVidDataset(args.csv_path, args.video_folder,
+                       sample_size=args.sample_size,
+                       sample_stride=args.sample_stride,
+                       sample_n_frames=args.sample_n_frames, seed=args.seed)
+    eff_batch = args.batch_size * max(1, accum)
+    loader = DevicePrefetcher(ds.batches(eff_batch), depth=2)
+
+    key = jax.random.PRNGKey(args.seed)
+    rng_np = np.random.RandomState(args.seed)
+    t_last = time.time()
+    for step_no in range(start_step, args.num_train_steps):
+        px = next(loader)["pixel_values01"]
+        batch = make_batch(px, rng_np)
+        if accum > 1:
+            batch = {k: v.reshape((accum, args.batch_size) + v.shape[1:])
+                     for k, v in batch.items()}
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+
+        if (step_no + 1) % args.log_every == 0:
+            dt = (time.time() - t_last) / args.log_every
+            t_last = time.time()
+            logger.info(
+                f"step {step_no + 1} loss {float(metrics['loss']):.4f} "
+                f"grad_norm {float(metrics['grad_norm']):.3f} "
+                f"{dt:.2f}s/it")
+        ckpt.save(step_no + 1, state)
+
+        if (step_no + 1) % args.validation_steps == 0:
+            _render_validation(args, bundle, state, px, batch, step_no + 1,
+                               write_video, logger)
+
+    ckpt.close()
+    export_adapter(
+        state.ema_params if state.ema_params is not None else state.params,
+        os.path.join(args.output_dir, "adapter_final.npz"))
+    logger.info(f"done; adapter at {args.output_dir}/adapter_final.npz")
+
+
+def _render_validation(args, bundle, state, px, batch, step_no, write_video,
+                       logger):
+    """EMA-weighted validation render (train_stage1.py:1210-1306)."""
+    import dataclasses
+    import os
+    from mofa_tpu.pipelines.traj import TrajPipeline
+    params = state.ema_params if state.ema_params is not None else state.params
+    val_bundle = dataclasses.replace(bundle, controlnet_params=params)
+    pipe = TrajPipeline(val_bundle)
+    image = px[0:1, 0]
+    flow = batch["flows"].reshape((-1,) + batch["flows"].shape[-4:])[0:1]
+    frames, _ = pipe(image, flow, num_inference_steps=4,
+                     key=jax.random.PRNGKey(42))
+    path = os.path.join(args.output_dir, f"val_{step_no}.mp4")
+    write_video(np.asarray(frames)[0], path, fps=7)
+    logger.info(f"validation render -> {path}")
+
+
+def main(argv=None):
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()
