@@ -214,13 +214,21 @@ class CMP(nn.Module):
 
     cfg: CMPConfig = CMPConfig()
 
-    @nn.compact
-    def __call__(self, image, sparse, mask):
+    def setup(self):
+        self.flow_encoder = ShallowNet8x(self.cfg)
+        self.image_encoder = ResNetDilated(self.cfg)
+        self.flow_decoder = MotionDecoderSkipLayer(self.cfg)
+
+    def logits(self, image, sparse, mask):
+        """Raw 2*nbins decoder logits at /2 res (training loss input)."""
         sp = jnp.concatenate([sparse, mask], axis=-1)
-        sparse_enc = ShallowNet8x(self.cfg, name="flow_encoder")(sp)
-        img_enc, skips = ResNetDilated(self.cfg, name="image_encoder")(image)
+        sparse_enc = self.flow_encoder(sp)
+        img_enc, skips = self.image_encoder(image)
         dec_in = jnp.concatenate([img_enc, sparse_enc], axis=-1)
-        logits = MotionDecoderSkipLayer(self.cfg, name="flow_decoder")(dec_in, skips)
+        return self.flow_decoder(dec_in, skips)
+
+    def __call__(self, image, sparse, mask):
+        logits = self.logits(image, sparse, mask)
         flow = fuser_convert_flow(logits, self.cfg.nbins, self.cfg.fmax)
         if flow.shape[1] != image.shape[1]:
             flow = resize_nhwc(flow, image.shape[1:3], "bilinear", True)
