@@ -1,0 +1,90 @@
+"""Audio -> landmarks.npy CLI (AniPortrait path).
+
+Stage-for-stage replacement of
+/root/reference/MOFA-Video-Hybrid/aniportrait/audio2ldmk.py: wav ->
+wav2vec2 -> Audio2Mesh (+ reference lmks3d) -> Audio2Pose (5s chunks) ->
+smooth -> perspective projection -> 468->68 -> landmarks.npy — the exact
+npy contract consumed by keypoint_app / hybrid_app.
+
+The reference extracts (lmks, lmks3d, trans_mat) from the still image with
+mediapipe's FaceLandmarker (not available in this image); here they are
+supplied via --face_npz (keys: lmks [478,2 or 3] normalized, lmks3d
+[478,3], trans_mat [4,4]) produced by any external landmarker with the
+mediapipe contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="MOFA-TPU audio->landmarks")
+    p.add_argument("--ref_image_path", required=True)
+    p.add_argument("--audio_path", required=True)
+    p.add_argument("--face_npz", required=True,
+                   help="npz with lmks/lmks3d/trans_mat (mediapipe contract)")
+    p.add_argument("--save_dir", required=True)
+    p.add_argument("--a2m_ckpt", default=None, help="audio2mesh.pt")
+    p.add_argument("--a2p_ckpt", default=None, help="audio2pose.pt")
+    p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--sr", type=int, default=16000)
+    p.add_argument("--tiny", action="store_true")
+    return p
+
+
+def run(args):
+    from PIL import Image
+    from mofa_tpu.models.audio.wav2vec2 import Wav2Vec2Config, TINY_W2V_CONFIG
+    from mofa_tpu.models.audio.aniportrait import (
+        Audio2Mesh, Audio2Pose, audio_to_landmarks)
+    from mofa_tpu.models.weights import (load_torch_checkpoint,
+                                         convert_audio_state_dict)
+
+    img = Image.open(args.ref_image_path).convert("RGB")
+    width, height = img.size
+
+    face = np.load(args.face_npz)
+    lmks = face["lmks"].astype(np.float32).copy()
+    lmks[:, 0] *= width
+    lmks[:, 1] *= height
+    lmks3d = face["lmks3d"].astype(np.float32)
+    trans_mat = face["trans_mat"].astype(np.float32)
+
+    w2v = TINY_W2V_CONFIG if args.tiny else Wav2Vec2Config()
+    latent = 64 if args.tiny else 512
+    a2m = Audio2Mesh(w2v, latent_dim=latent, out_dim=1404)
+    a2p = Audio2Pose(w2v, latent_dim=latent, out_dim=6)
+
+    probe = jnp.zeros((1, args.sr))
+    a2m_params = a2m.init(jax.random.PRNGKey(0), probe, args.fps)
+    a2p_params = a2p.init(jax.random.PRNGKey(1), probe, args.fps, 42)
+    if args.a2m_ckpt:
+        a2m_params = convert_audio_state_dict(
+            a2m_params, load_torch_checkpoint(args.a2m_ckpt), strict=False)
+    if args.a2p_ckpt:
+        a2p_params = convert_audio_state_dict(
+            a2p_params, load_torch_checkpoint(args.a2p_ckpt), strict=False)
+
+    landmarks = audio_to_landmarks(
+        a2m, a2m_params, a2p, a2p_params, args.audio_path,
+        lmks, lmks3d, trans_mat, [height, width],
+        fps=args.fps, sr=args.sr)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    out = os.path.join(args.save_dir, "landmarks.npy")
+    np.save(out, landmarks)
+    print(f"wrote {out} {landmarks.shape}")
+
+
+def main(argv=None):
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

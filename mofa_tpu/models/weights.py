@@ -50,6 +50,8 @@ _LEAF_RENAMES = {
 
 def _transpose_for_flax(leaf_name: str, value: np.ndarray, is_norm: bool):
     if leaf_name == "weight":
+        if value.ndim == 3:          # conv1d OIK -> KIO
+            return "kernel", value.transpose(2, 1, 0)
         if value.ndim == 4:          # conv OIHW -> HWIO
             return "kernel", value.transpose(2, 3, 1, 0)
         if value.ndim == 5:          # conv3d OIDHW -> DHWIO
@@ -217,4 +219,69 @@ def convert_gmflow_state_dict(flax_params: dict, torch_sd: Dict[str, np.ndarray]
         assert tgt.shape == trident.shape, (tgt.shape, trident.shape)
         root["backbone"]["trident_conv_weight"] = trident.astype(
             np.asarray(tgt).dtype)
+    return params
+
+
+# ----------------------------------------------------------------- audio
+
+def convert_audio_state_dict(flax_params: dict, torch_sd: Dict[str, np.ndarray],
+                             strict: bool = True) -> dict:
+    """AniPortrait Audio2Mesh/Audio2Pose torch checkpoints -> our flax trees.
+
+    Handles: HF wav2vec2 'encoder.' level flattening, weight-normed
+    positional conv merge, packed in_proj qkv split (torch MultiheadAttention),
+    nn.Embedding naming."""
+    remapped = {}
+    wn = {}
+    for k, v in torch_sd.items():
+        k = re.sub(r"^(module\.)+", "", k)
+        v = _to_numpy(v)
+        if ("masked_spec_embed" in k or "num_batches_tracked" in k
+                or k.endswith("PPE.pe") or k.endswith("biased_mask")):
+            continue  # fixed buffers rebuilt in code
+        # wav2vec2 'encoder.' level is flattened in our tree
+        k = k.replace(".encoder.layers.", ".layers.")
+        k = k.replace(".encoder.pos_conv_embed.conv.", ".pos_conv_embed_conv.")
+        k = k.replace(".encoder.layer_norm.", ".encoder_layer_norm.")
+        # weight-norm halves of the positional conv: stash then merge
+        m = re.match(r"(.*pos_conv_embed_conv)\.(weight_g|weight_v|"
+                     r"parametrizations\.weight\.original0|"
+                     r"parametrizations\.weight\.original1)$", k)
+        if m:
+            which = "g" if m.group(2).endswith(("_g", "original0")) else "v"
+            wn.setdefault(m.group(1), {})[which] = v
+            continue
+        k = k.replace("transformer_decoder.layers.", "decoder_layers.")
+        k = re.sub(r"decoder_layers\.(\d+)\.", r"decoder_layers_\1.", k)
+        # torch MultiheadAttention packed qkv
+        m = re.match(r"(.*)\.(self_attn|multihead_attn)\.in_proj_(weight|bias)$", k)
+        if m:
+            base, attn, kind = m.groups()
+            parts = np.split(v, 3, axis=0)
+            for name, part in zip("qkv", parts):
+                remapped[f"{base}.{attn}_{name}.{kind}"] = part
+            continue
+        k = re.sub(r"\.(self_attn|multihead_attn)\.out_proj\.", r".\1_out.", k)
+        if k == "id_embed.weight":
+            remapped["id_embed.embedding__raw"] = v
+            continue
+        remapped[k] = v
+    # merge weight norm: w = g * v / ||v||  (norm over dims (0, 1), g [O,1,1]
+    # for dim=2... HF uses weight_norm(conv, name="weight", dim=2))
+    for base, gv in wn.items():
+        g, v = gv["g"], gv["v"]
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        remapped[f"{base}.weight"] = g * v / norm
+
+    raw_embeds = {k: remapped.pop(k) for k in list(remapped)
+                  if k.endswith("embedding__raw")}
+    params = convert_torch_state_dict(flax_params, remapped, strict=strict)
+    root = params["params"] if "params" in params else params
+    # place raw embeddings (flax nn.Embed leaf name 'embedding', no transpose)
+    for key, val in raw_embeds.items():
+        node = root
+        for part in key.split(".")[:-1]:
+            node = node[part]
+        assert node["embedding"].shape == val.shape, (key, val.shape)
+        node["embedding"] = val.astype(np.asarray(node["embedding"]).dtype)
     return params
