@@ -79,6 +79,8 @@ class ControlNetTrunk(nn.Module):
         image_only_indicator = jnp.zeros((bsz, num_frames), dtype=dtype)
 
         x = Conv(cfg.block_out_channels[0], 3, name="conv_in")(x)
+        from mofa_tpu.parallel.activation import constrain_batch
+        x = constrain_batch(x)   # frame-parallel layout hint (no-op w/o mesh)
 
         if cond_at_conv_in is not None:
             x = x + cond_at_conv_in.astype(x.dtype)

@@ -132,6 +132,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         image_only_indicator = jnp.zeros((bsz, num_frames), dtype=dtype)
 
         x = Conv(cfg.block_out_channels[0], 3, name="conv_in")(x)
+        from mofa_tpu.parallel.activation import constrain_batch
+        x = constrain_batch(x)   # frame-parallel layout hint (no-op w/o mesh)
 
         down_block_res_samples = (x,)
         residuals = down_block_additional_residuals

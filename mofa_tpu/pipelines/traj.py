@@ -31,9 +31,15 @@ from mofa_tpu.pipelines.common import (
 
 
 class TrajPipeline:
-    def __init__(self, bundle: ModelBundle, bug_compat: bool = True):
+    def __init__(self, bundle: ModelBundle, bug_compat: bool = True,
+                 mesh=None):
+        """mesh: optional jax Mesh — frame-parallel inference (activations
+        sharded over the "frames" axis; temporal-attention collectives
+        inserted by GSPMD). `self` keys the jit cache, so one pipeline
+        instance = one consistent sharding mode."""
         self.bundle = bundle
         self.bug_compat = bug_compat
+        self.mesh = mesh
 
     def __call__(self, image01: jnp.ndarray, controlnet_flow: jnp.ndarray,
                  num_inference_steps: int = 25,
@@ -105,6 +111,21 @@ class TrajPipeline:
                             cond_image, flow_cfg, guidance, sigmas, timesteps,
                             cond_scale, *, num_steps: int,
                             decode_chunk_size: int, return_latent: bool):
+        import contextlib
+        from mofa_tpu.parallel.activation import frame_parallel
+        ctx = (frame_parallel(self.mesh) if self.mesh is not None
+               else contextlib.nullcontext())
+        with ctx:
+            return self._denoise_body(
+                unet_params, cn_params, vae_params, latents, image_latents,
+                image_embeddings, added_time_ids, cond_image, flow_cfg,
+                guidance, sigmas, timesteps, cond_scale, num_steps,
+                decode_chunk_size, return_latent)
+
+    def _denoise_body(self, unet_params, cn_params, vae_params, latents,
+                      image_latents, image_embeddings, added_time_ids,
+                      cond_image, flow_cfg, guidance, sigmas, timesteps,
+                      cond_scale, num_steps, decode_chunk_size, return_latent):
         bundle = self.bundle
         # hoist step-independent adapter features (warp once per video)
         inject = bundle.controlnet.apply(
