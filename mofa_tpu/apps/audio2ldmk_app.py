@@ -34,11 +34,22 @@ def build_parser():
     p.add_argument("--a2p_ckpt", default=None, help="audio2pose.pt")
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--sr", type=int, default=16000)
+    p.add_argument("--engine", choices=("aniportrait", "sadtalker"),
+                   default="aniportrait")
+    # sadtalker-engine inputs
+    p.add_argument("--bfm_mat", default=None, help="BFM model .mat")
+    p.add_argument("--coeff_npz", default=None,
+                   help="npz: full_3dmm [1,257], trans_params [8], crop_info")
+    p.add_argument("--exp_ckpt", default=None)
+    p.add_argument("--pose_ckpt", default=None)
+    p.add_argument("--pose_style", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
     return p
 
 
 def run(args):
+    if args.engine == "sadtalker":
+        return run_sadtalker(args)
     from PIL import Image
     from mofa_tpu.models.audio.wav2vec2 import Wav2Vec2Config, TINY_W2V_CONFIG
     from mofa_tpu.models.audio.aniportrait import (
@@ -88,3 +99,46 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def run_sadtalker(args):
+    """SadTalker engine: wav + first-frame 3DMM fit (--coeff_npz with the
+    reference .mat contract) -> landmarks.npy."""
+    from mofa_tpu.models.audio.sadtalker import (
+        Audio2ExpNet, Audio2PoseCVAE, BFMModel,
+        sadtalker_audio_to_landmarks)
+    from mofa_tpu.models.audio.aniportrait import load_wav
+    from mofa_tpu.models.weights import (
+        load_torch_checkpoint, convert_sadtalker_exp, convert_sadtalker_pose)
+
+    data = np.load(args.coeff_npz, allow_pickle=True)
+    coeff257 = data["full_3dmm"].astype(np.float32).reshape(1, -1)
+    trans_params = data["trans_params"].astype(np.float32).reshape(-1)
+    crop_info = data["crop_info"].tolist() if "crop_info" in data else (
+        (256, 256), (0, 0, 256, 256), (0, 0, 256, 256))
+    bfm = BFMModel.load(args.bfm_mat)
+
+    exp_net = Audio2ExpNet()
+    exp_params = exp_net.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 64)),
+                              jnp.zeros((1, 1)))
+    pose_net = Audio2PoseCVAE()
+    pose_params = pose_net.init(jax.random.PRNGKey(1),
+                                jnp.zeros((1, 34, 80, 16)), jnp.zeros((1, 6)),
+                                jnp.asarray([0]), jax.random.PRNGKey(2))
+    if args.exp_ckpt:
+        exp_params = convert_sadtalker_exp(
+            exp_params, load_torch_checkpoint(args.exp_ckpt), strict=False)
+    if args.pose_ckpt:
+        pose_params = convert_sadtalker_pose(
+            pose_params, load_torch_checkpoint(args.pose_ckpt), strict=False)
+
+    wav = load_wav(args.audio_path, args.sr)
+    landmarks = sadtalker_audio_to_landmarks(
+        exp_net, exp_params, pose_net, pose_params, bfm, wav, coeff257,
+        trans_params, crop_info, pose_style=args.pose_style, fps=args.fps)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    out = os.path.join(args.save_dir, "landmarks.npy")
+    np.save(out, landmarks)
+    print(f"wrote {out} {landmarks.shape}")

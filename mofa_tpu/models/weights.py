@@ -285,3 +285,107 @@ def convert_audio_state_dict(flax_params: dict, torch_sd: Dict[str, np.ndarray],
         assert node["embedding"].shape == val.shape, (key, val.shape)
         node["embedding"] = val.astype(np.asarray(node["embedding"]).dtype)
     return params
+
+
+# --------------------------------------------------------------- sadtalker
+
+def _w2l_encoder_remap(key: str, prefix: str) -> str | None:
+    """wav2lip Sequential conv stack: `{prefix}.{i}.conv_block.{0|1}` ->
+    `{prefix}.enc_{i}.{conv|bn}`."""
+    m = re.match(rf"{re.escape(prefix)}\.(\d+)\.conv_block\.([01])\.(.+)", key)
+    if m:
+        i, kind, rest = m.groups()
+        part = "conv" if kind == "0" else "bn"
+        return f"{prefix}.enc_{i}.{part}.{rest}"
+    return key
+
+
+_RESUNET_RENAMES = [
+    (r"resunet\.input_layer\.0\.", "resunet.in_conv1."),
+    (r"resunet\.input_layer\.1\.", "resunet.in_bn."),
+    (r"resunet\.input_layer\.3\.", "resunet.in_conv2."),
+    (r"resunet\.input_skip\.0\.", "resunet.in_skip."),
+    (r"resunet\.residual_conv_1\.", "resunet.res1."),
+    (r"resunet\.residual_conv_2\.", "resunet.res2."),
+    (r"resunet\.bridge\.", "resunet.bridge."),
+    (r"resunet\.upsample_(\d)\.upsample\.", r"resunet.up\1."),
+    (r"resunet\.up_residual_conv(\d)\.", r"resunet.upres\1."),
+    (r"resunet\.output_layer\.0\.", "resunet.out_conv."),
+]
+
+_RESCONV_RENAMES = [
+    (r"\.conv_block\.0\.", ".bn1."),
+    (r"\.conv_block\.2\.", ".conv1."),
+    (r"\.conv_block\.3\.", ".bn2."),
+    (r"\.conv_block\.5\.", ".conv2."),
+    (r"\.conv_skip\.0\.", ".skip_conv."),
+    (r"\.conv_skip\.1\.", ".skip_bn."),
+]
+
+
+def convert_sadtalker_exp(flax_params: dict, torch_sd: Dict[str, np.ndarray],
+                          strict: bool = True) -> dict:
+    """SimpleWrapperV2 (audio2exp) -> Audio2ExpNet tree."""
+    remapped = {}
+    for k, v in torch_sd.items():
+        k = re.sub(r"^(module\.)+", "", k)
+        if "num_batches_tracked" in k:
+            continue
+        k = _w2l_encoder_remap(k, "audio_encoder")
+        remapped[k] = v
+    return convert_torch_state_dict(flax_params, remapped, strict=strict)
+
+
+def convert_sadtalker_pose(flax_params: dict, torch_sd: Dict[str, np.ndarray],
+                           strict: bool = True) -> dict:
+    """Audio2Pose (test path: wav2lip audio encoder + CVAE decoder) ->
+    Audio2PoseCVAE tree. Training-only parts (CVAE encoder, discriminator)
+    are dropped."""
+    remapped = {}
+    classbias = None
+    for k, v in torch_sd.items():
+        k = re.sub(r"^(module\.)+", "", k)
+        v = _to_numpy(v)
+        if ("num_batches_tracked" in k or k.startswith("netD")
+                or k.startswith("netG.encoder.")):
+            continue
+        k = _w2l_encoder_remap(k, "audio_encoder.audio_encoder")
+        k = k.replace("audio_encoder.audio_encoder.", "audio_encoder.")
+        if not k.startswith("audio_encoder."):
+            if not k.startswith("netG.decoder."):
+                continue
+            k = k.replace("netG.decoder.", "decoder.")
+            for pat, rep in _RESUNET_RENAMES + _RESCONV_RENAMES:
+                k = re.sub(pat, rep, k)
+            k = re.sub(r"decoder\.MLP\.L(\d+)\.", r"decoder.mlp_\1.", k)
+            if k == "decoder.classbias":
+                classbias = v
+                continue
+            # ConvTranspose2d weights are [I, O, H, W] -> flax [H, W, I, O]
+            # with a spatial FLIP (torch convT correlates with the flipped
+            # kernel relative to lax.conv_transpose)
+            if re.match(r"decoder\.resunet\.up\d\.weight", k) and v.ndim == 4:
+                remapped[k.replace(".weight", ".kernel__raw")] = \
+                    np.ascontiguousarray(
+                        v.transpose(2, 3, 0, 1)[::-1, ::-1])
+                continue
+        remapped[k] = v
+
+    raw = {k: remapped.pop(k) for k in list(remapped)
+           if k.endswith("kernel__raw")}
+    params = convert_torch_state_dict(flax_params, remapped, strict=strict)
+    root = params["params"] if "params" in params else params
+    for key, val in raw.items():
+        node = root
+        parts = key.split(".")[:-1]
+        for part in parts:
+            node = node[part]
+        assert node["kernel"].shape == val.shape, (key, val.shape,
+                                                   node["kernel"].shape)
+        node["kernel"] = val.astype(np.asarray(node["kernel"]).dtype)
+    if classbias is not None:
+        node = root["decoder"]
+        assert node["classbias"].shape == classbias.shape
+        node["classbias"] = classbias.astype(
+            np.asarray(node["classbias"]).dtype)
+    return params
