@@ -71,3 +71,32 @@ def flow_to_image(flow_uv: np.ndarray, clip_flow=None, convert_to_bgr=False) -> 
     u = u / (rad_max + eps)
     v = v / (rad_max + eps)
     return flow_uv_to_colors(u, v, convert_to_bgr)
+
+
+# ----------------------------------------------------------- .flo file I/O
+
+_FLO_MAGIC = 202021.25
+
+
+def read_flo(path: str):
+    """Middlebury .flo reader (cmp/utils/flowlib.py read_flow)."""
+    import numpy as np
+    with open(path, "rb") as f:
+        magic = np.frombuffer(f.read(4), np.float32)[0]
+        assert abs(magic - _FLO_MAGIC) < 1e-3, f"bad .flo magic in {path}"
+        w = int(np.frombuffer(f.read(4), np.int32)[0])
+        h = int(np.frombuffer(f.read(4), np.int32)[0])
+        data = np.frombuffer(f.read(h * w * 2 * 4), np.float32)
+    return data.reshape(h, w, 2).copy()
+
+
+def write_flo(flow, path: str):
+    """Middlebury .flo writer (cmp/utils/flowlib.py write_flow)."""
+    import numpy as np
+    flow = np.asarray(flow, np.float32)
+    h, w = flow.shape[:2]
+    with open(path, "wb") as f:
+        f.write(np.float32(_FLO_MAGIC).tobytes())
+        f.write(np.int32(w).tobytes())
+        f.write(np.int32(h).tobytes())
+        f.write(flow.tobytes())
