@@ -86,6 +86,12 @@ def run(args):
     if args.controlnet_resume:
         bundle.controlnet_params = import_adapter(
             bundle.controlnet_params, args.controlnet_resume)
+    elif args.stage == 1:
+        # stage-1 adapters start from the frozen UNet's trunk weights
+        # (FlowControlNet.from_unet, controlnet_sdv.py:617-627)
+        from mofa_tpu.models.weights import init_adapter_from_unet
+        bundle.controlnet_params = init_adapter_from_unet(
+            bundle.controlnet_params, bundle.unet_params)
     if mesh is not None:
         bundle = dataclasses.replace(
             bundle,

@@ -469,3 +469,24 @@ def sadtalker_audio_to_landmarks(exp_net, exp_params, pose_net, pose_params,
     all_coeffs = np.concatenate([first_frame_coeff257, full], axis=0)
     lm224 = bfm.landmarks(all_coeffs)
     return uncrop_landmarks(lm224, trans_params, crop_info)
+
+
+def sadtalker_video_to_landmarks(bfm: BFMModel,
+                                 first_frame_coeff257: np.ndarray,
+                                 driving_coeffs70: np.ndarray,
+                                 trans_params: np.ndarray, crop_info,
+                                 relative_pose: bool = True) -> np.ndarray:
+    """Video-driven retargeting (sadtalker_video2pose path): the driving
+    video's per-frame exp+pose track (the --ref_pose flow of
+    run_gradio_video_driven.py) steers the reference identity. Per-frame
+    3DMM fits of the driving video come from the external fit stage with
+    the same coeff contract."""
+    coeffs = driving_coeffs70.astype(np.float32).copy()
+    if relative_pose:
+        ref_pose = np.concatenate([first_frame_coeff257[0, 224:227],
+                                   first_frame_coeff257[0, 254:257]])
+        coeffs[:, 64:70] = ref_pose[None] + (coeffs[:, 64:70]
+                                             - coeffs[0:1, 64:70])
+    full = compose_full_coeffs(first_frame_coeff257, coeffs)
+    all_coeffs = np.concatenate([first_frame_coeff257, full], axis=0)
+    return uncrop_landmarks(bfm.landmarks(all_coeffs), trans_params, crop_info)

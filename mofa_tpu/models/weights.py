@@ -389,3 +389,35 @@ def convert_sadtalker_pose(flax_params: dict, torch_sd: Dict[str, np.ndarray],
         node["classbias"] = classbias.astype(
             np.asarray(node["classbias"]).dtype)
     return params
+
+
+def init_adapter_from_unet(cn_params: dict, unet_params: dict) -> dict:
+    """FlowControlNet.from_unet weight copy (controlnet_sdv.py:617-627):
+    conv_in, time_embedding, down_blocks and mid_block are copied from the
+    frozen SVD UNet into the adapter trunk; add_embedding, the conditioning
+    embeddings, flow encoder and zero convs keep their fresh init (the
+    reference copies exactly this set)."""
+    import copy as _copy
+    import jax
+
+    out = _copy.deepcopy(cn_params)
+    src = unet_params["params"] if "params" in unet_params else unet_params
+    dst_root = out["params"] if "params" in out else out
+    trunk = dst_root["trunk"]
+
+    names = [k for k in trunk
+             if k == "conv_in" or k == "time_embedding"
+             or k == "mid_block" or k.startswith("down_blocks_")]
+    copied = 0
+    for name in names:
+        assert name in src, f"unet tree missing {name}"
+
+        def _check_copy(a, b):
+            assert np.asarray(a).shape == np.asarray(b).shape
+            return b
+
+        trunk[name] = jax.tree_util.tree_map(_check_copy, trunk[name],
+                                             src[name])
+        copied += 1
+    assert copied >= 3, "from_unet copied suspiciously few modules"
+    return out

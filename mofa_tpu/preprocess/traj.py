@@ -129,3 +129,27 @@ class DragFlowEngine:
                               height, width,
                               brush_mask=1.0 - brush_mask_384)
         return merge_flows(f_in, f_out)
+
+
+def visualize_drag(background01: np.ndarray, tracks, width: int = 4) -> np.ndarray:
+    """Draw drag trajectories as arrowed polylines on a copy of the image
+    (visualize_drag_v2, run_gradio.py:180-212). background01 [H, W, 3] in
+    (0,1); tracks: list of [N, 2] (x, y). Returns uint8 RGBA hint image."""
+    import cv2
+    h, w = background01.shape[:2]
+    canvas = np.zeros((h, w, 4), np.uint8)
+    for tr in tracks:
+        tr = np.asarray(tr)
+        if len(tr) < 2:
+            continue
+        for a, b in zip(tr[:-1], tr[1:]):
+            cv2.line(canvas, (int(a[0]), int(a[1])), (int(b[0]), int(b[1])),
+                     (255, 0, 0, 255), width)
+        end, prev = tr[-1], tr[-2]
+        cv2.arrowedLine(canvas, (int(prev[0]), int(prev[1])),
+                        (int(end[0]), int(end[1])), (255, 0, 0, 255), width,
+                        tipLength=0.5)
+    alpha = canvas[..., 3:4].astype(np.float32) / 255.0
+    rgb = (background01 * 255).astype(np.float32)
+    out = rgb * (1 - alpha) + canvas[..., :3].astype(np.float32) * alpha
+    return out.astype(np.uint8)

@@ -124,3 +124,24 @@ def test_sharded_train_step_dp_tp_sp(bundle):
     new_state, metrics = step(state, batch, jax.random.PRNGKey(4))
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_init_adapter_from_unet(bundle):
+    from mofa_tpu.models.weights import init_adapter_from_unet
+    import numpy as np
+
+    cn = init_adapter_from_unet(bundle.controlnet_params, bundle.unet_params)
+    trunk = cn["params"]["trunk"]
+    src = bundle.unet_params["params"]
+    # copied modules match the UNet exactly
+    for name in ("conv_in", "time_embedding", "mid_block", "down_blocks_0"):
+        got = jax.tree_util.tree_leaves(trunk[name])
+        want = jax.tree_util.tree_leaves(src[name])
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # add_embedding intentionally NOT copied (reference from_unet set)
+    orig = jax.tree_util.tree_leaves(
+        bundle.controlnet_params["params"]["trunk"]["add_embedding"])
+    kept = jax.tree_util.tree_leaves(trunk["add_embedding"])
+    for o, k in zip(orig, kept):
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(k))
