@@ -34,10 +34,12 @@ class HybridPipeline:
     """bundle.controlnet = LdmkFlowControlNet (face);
     bundle.controlnet2 = FlowControlNet (drag)."""
 
-    def __init__(self, bundle: ModelBundle, bug_compat: bool = True):
+    def __init__(self, bundle: ModelBundle, bug_compat: bool = True,
+                 mesh=None):
         assert bundle.controlnet2 is not None, "dual-adapter bundle required"
         self.bundle = bundle
         self.bug_compat = bug_compat
+        self.mesh = mesh
 
     def __call__(self, image01: jnp.ndarray, controlnet_flow: jnp.ndarray,
                  drag_flow: jnp.ndarray, landmarks: jnp.ndarray,
@@ -108,6 +110,23 @@ class HybridPipeline:
                             sigmas, timesteps, scale_ldmk, scale_traj, *,
                             num_steps: int, decode_chunk_size: int,
                             return_latent: bool):
+        import contextlib
+        from mofa_tpu.parallel.activation import frame_parallel
+        ctx = (frame_parallel(self.mesh) if self.mesh is not None
+               else contextlib.nullcontext())
+        with ctx:
+            return self._denoise_body(
+                unet_params, face_params, drag_params, vae_params, latents,
+                image_latents, image_embeddings, added_time_ids, cond_image,
+                flow_cfg, drag_cfg, ldmk_cfg, face_mask, guidance, sigmas,
+                timesteps, scale_ldmk, scale_traj, num_steps,
+                decode_chunk_size, return_latent)
+
+    def _denoise_body(self, unet_params, face_params, drag_params, vae_params,
+                      latents, image_latents, image_embeddings, added_time_ids,
+                      cond_image, flow_cfg, drag_cfg, ldmk_cfg, face_mask,
+                      guidance, sigmas, timesteps, scale_ldmk, scale_traj,
+                      num_steps, decode_chunk_size, return_latent):
         bundle = self.bundle
         face_cn, drag_cn = bundle.controlnet, bundle.controlnet2
 

@@ -58,9 +58,11 @@ def view_index_array(num_frames: int, window_size: int, stride: int) -> np.ndarr
 class KeypointPipeline:
     """Windowed landmark-driven pipeline (LdmkFlowControlNet adapter)."""
 
-    def __init__(self, bundle: ModelBundle, bug_compat: bool = True):
+    def __init__(self, bundle: ModelBundle, bug_compat: bool = True,
+                 mesh=None):
         self.bundle = bundle
         self.bug_compat = bug_compat
+        self.mesh = mesh
 
     def __call__(self, image01: jnp.ndarray, controlnet_flow: jnp.ndarray,
                  landmarks: jnp.ndarray,
@@ -129,6 +131,22 @@ class KeypointPipeline:
                             timesteps, idx, cond_scale, *, num_steps: int,
                             window_size: int, decode_chunk_size: int,
                             return_latent: bool):
+        import contextlib
+        from mofa_tpu.parallel.activation import frame_parallel
+        ctx = (frame_parallel(self.mesh) if self.mesh is not None
+               else contextlib.nullcontext())
+        with ctx:
+            return self._denoise_body(
+                unet_params, cn_params, vae_params, latents, image_latents,
+                image_embeddings, added_time_ids, cond_image, flow_cfg,
+                ldmk_cfg, guidance, sigmas, timesteps, idx, cond_scale,
+                num_steps, window_size, decode_chunk_size, return_latent)
+
+    def _denoise_body(self, unet_params, cn_params, vae_params, latents,
+                      image_latents, image_embeddings, added_time_ids,
+                      cond_image, flow_cfg, ldmk_cfg, guidance, sigmas,
+                      timesteps, idx, cond_scale, num_steps, window_size,
+                      decode_chunk_size, return_latent):
         bundle = self.bundle
         cn = bundle.controlnet
         w_len = window_size
