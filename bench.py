@@ -45,7 +45,6 @@ def main():
     else:  # CPU smoke fallback so the script always emits a line
         cfg, h, w, t, steps = MICRO_UNET_CONFIG, 64, 64, 3, 2
 
-    import dataclasses
     from mofa_tpu.models.mofa_adapter import FlowControlNet
     from mofa_tpu.models.svd_unet import UNetSpatioTemporalConditionModel
 
@@ -115,15 +114,18 @@ def main():
         out, _ = jax.lax.scan(step_fn, latents, jnp.arange(steps))
         return out
 
-    # compile + warmup
+    # NOTE: block_until_ready does not reliably block over the axon
+    # tunnel; a scalar device->host readback is the only trustworthy fence.
+    fetch = jax.jit(lambda u, c, l: jnp.sum(
+        denoise(u, c, l).astype(jnp.float32)))
+
     t0 = time.perf_counter()
-    denoise(unet_params, cn_params, latents).block_until_ready()
+    float(fetch(unet_params, cn_params, latents))
     _log(f"compile+warmup {time.perf_counter()-t0:.1f}s")
     n_iters = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = denoise(unet_params, cn_params, latents)
-    out.block_until_ready()
+        float(fetch(unet_params, cn_params, latents))
     dt = (time.perf_counter() - t0) / n_iters
 
     fps = t / dt

@@ -10,7 +10,6 @@ init fallback keeps every app runnable without weights.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Optional
 

@@ -21,7 +21,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # v5e sweep at the SVD spatial shape (L=9216, 5 heads, d=64, bf16):
 # (256,512) 29.6ms, (512,512) 28.2ms, (512,1024) 26.8ms <- best

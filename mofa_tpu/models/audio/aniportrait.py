@@ -20,7 +20,6 @@ generated suffix), so the whole rollout is ONE compiled program.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 
 import flax.linen as nn

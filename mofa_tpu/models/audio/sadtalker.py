@@ -25,7 +25,6 @@ with the reference .mat contract.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional
 
 import flax.linen as nn
@@ -76,7 +75,7 @@ def melspectrogram(wav: np.ndarray) -> np.ndarray:
     """wav2lip melspectrogram (audio.py:45-50): preemphasis -> STFT ->
     Slaney mel -> dB -> symmetric normalization. Returns [80, frames]."""
     p = MEL_PARAMS
-    from scipy.signal import lfilter, stft
+    from scipy.signal import lfilter
     y = lfilter([1.0, -p["preemphasis"]], [1.0], wav).astype(np.float64)
     # librosa.stft: hann window, centered (reflect padding)
     n_fft, hop, win = p["n_fft"], p["hop_size"], p["win_size"]

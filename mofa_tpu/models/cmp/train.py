@@ -9,7 +9,6 @@ utils/distributed_utils.py:23-27 becomes GSPMD-inserted gradient psum).
 
 from __future__ import annotations
 
-from bisect import bisect_right
 from typing import Sequence
 
 import jax

@@ -7,7 +7,6 @@ Eps split mirrors diffusers: cross-attn blocks 1e-6, plain blocks 1e-5.
 
 from __future__ import annotations
 
-from typing import Optional
 
 from flax import linen as nn
 

@@ -9,7 +9,7 @@ channel-last; frames layout [B, T, H, W, C].
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ import csv
 import os
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

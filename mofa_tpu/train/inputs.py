@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from mofa_tpu.models.cmp.model import CMP, cmp_preprocess
+from mofa_tpu.models.cmp.model import cmp_preprocess
 from mofa_tpu.ops.resize import resize_nhwc
 from mofa_tpu.ops.flow import rescale_flow
 from mofa_tpu.train.flow_sampler import clip_sample_mask

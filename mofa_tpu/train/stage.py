@@ -20,8 +20,7 @@ TP rules, frame axis "frames"; gradient psum is inserted by GSPMD.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
