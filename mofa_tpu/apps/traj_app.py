@@ -36,6 +36,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--fps", type=int, default=7)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--frame_parallel", action="store_true",
+                   help="shard the denoise over all devices' frames axis")
     p.add_argument("--tiny", action="store_true",
                    help="micro model configs (smoke tests; no real weights)")
     return p
@@ -99,7 +101,11 @@ def run(args):
     bundle = load_bundle(args.svd_dir, args.controlnet_dir, **cfg_kw,
                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                          image_size=(h, w), num_frames=args.num_frames)
-    pipe = TrajPipeline(bundle)
+    mesh = None
+    if args.frame_parallel:
+        from mofa_tpu.core.mesh import make_mesh
+        mesh = make_mesh(data=1, frames=len(jax.devices()))
+    pipe = TrajPipeline(bundle, mesh=mesh)
     frames, _ = pipe(image_j, flow,
                      num_inference_steps=args.num_inference_steps,
                      min_guidance_scale=args.min_guidance,
