@@ -34,8 +34,12 @@ def build_parser():
     p.add_argument("--a2p_ckpt", default=None, help="audio2pose.pt")
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--sr", type=int, default=16000)
-    p.add_argument("--engine", choices=("aniportrait", "sadtalker"),
+    p.add_argument("--engine",
+                   choices=("aniportrait", "sadtalker", "video"),
                    default="aniportrait")
+    p.add_argument("--driving_coeffs_npz", default=None,
+                   help="video engine: per-frame [T, 70] exp+pose track "
+                        "of the driving video (external 3DMM fit)")
     # sadtalker-engine inputs
     p.add_argument("--bfm_mat", default=None, help="BFM model .mat")
     p.add_argument("--coeff_npz", default=None,
@@ -50,6 +54,8 @@ def build_parser():
 def run(args):
     if args.engine == "sadtalker":
         return run_sadtalker(args)
+    if args.engine == "video":
+        return run_video(args)
     from PIL import Image
     from mofa_tpu.models.audio.wav2vec2 import Wav2Vec2Config, TINY_W2V_CONFIG
     from mofa_tpu.models.audio.aniportrait import (
@@ -138,6 +144,26 @@ def run_sadtalker(args):
         exp_net, exp_params, pose_net, pose_params, bfm, wav, coeff257,
         trans_params, crop_info, pose_style=args.pose_style, fps=args.fps)
 
+    os.makedirs(args.save_dir, exist_ok=True)
+    out = os.path.join(args.save_dir, "landmarks.npy")
+    np.save(out, landmarks)
+    print(f"wrote {out} {landmarks.shape}")
+
+
+def run_video(args):
+    """Video-driven engine (sadtalker_video2pose path): driving video's
+    per-frame 70-d exp+pose coeffs retarget the reference identity."""
+    from mofa_tpu.models.audio.sadtalker import (BFMModel,
+                                                 sadtalker_video_to_landmarks)
+    data = np.load(args.coeff_npz, allow_pickle=True)
+    coeff257 = data["full_3dmm"].astype(np.float32).reshape(1, -1)
+    trans_params = data["trans_params"].astype(np.float32).reshape(-1)
+    crop_info = data["crop_info"].tolist() if "crop_info" in data else (
+        (256, 256), (0, 0, 256, 256), (0, 0, 256, 256))
+    driving = np.load(args.driving_coeffs_npz)["coeff_3dmm"]
+    bfm = BFMModel.load(args.bfm_mat)
+    landmarks = sadtalker_video_to_landmarks(
+        bfm, coeff257, driving, trans_params, crop_info)
     os.makedirs(args.save_dir, exist_ok=True)
     out = os.path.join(args.save_dir, "landmarks.npy")
     np.save(out, landmarks)
