@@ -233,3 +233,18 @@ class CMP(nn.Module):
         if flow.shape[1] != image.shape[1]:
             flow = resize_nhwc(flow, image.shape[1:3], "bilinear", True)
         return flow
+
+
+def cmp_config_from_yaml(path: str) -> CMPConfig:
+    """Import the reference CMP experiment YAML
+    (experiments/semiauto_annot/resnet50_vip+mpii_liteflow/config.yaml)
+    into a typed CMPConfig."""
+    import yaml
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    margs = raw["model"]["module"] if "module" in raw.get("model", {}) else \
+        raw.get("model", raw)
+    return CMPConfig(
+        nbins=int(margs.get("nbins", 99)),
+        fmax=float(margs.get("fmax", 50)),
+    )

@@ -68,7 +68,7 @@ def vae_encode_video(bundle: ModelBundle, pixels_pm1: jnp.ndarray,
 
 def edm_loss(cn_params, bundle: ModelBundle, batch: dict, key: jax.Array,
              cond_dropout_prob: Optional[float] = 0.1,
-             ldmk: bool = False, mesh=None):
+             ldmk: bool = False, mesh=None, remat: bool = False):
     """batch: pixel_values01 [B,T,H,W,3]; flows [B,T-1,H,W,2];
     optional landmarks [B,T,H,W,3] (ldmk adapter). Returns (loss, metrics)."""
     px01 = batch["pixel_values01"].astype(jnp.float32)
@@ -110,13 +110,23 @@ def edm_loss(cn_params, bundle: ModelBundle, batch: dict, key: jax.Array,
     cn_args = dict(controlnet_cond=controlnet_image, controlnet_flow=flows)
     if ldmk:
         cn_args["landmarks"] = batch["landmarks"]
-    down_res, mid_res = bundle.controlnet.apply(
-        cn_params, inp, ts, ehs, added_time_ids, **cn_args)
 
-    pred = bundle.unet.apply(
-        bundle.unet_params, inp, ts, ehs, added_time_ids,
-        down_block_additional_residuals=down_res,
-        mid_block_additional_residual=mid_res)
+    def cn_fwd(p, x):
+        return bundle.controlnet.apply(p, x, ts, ehs, added_time_ids, **cn_args)
+
+    def unet_fwd(x, down_res, mid_res):
+        return bundle.unet.apply(
+            bundle.unet_params, x, ts, ehs, added_time_ids,
+            down_block_additional_residuals=down_res,
+            mid_block_additional_residual=mid_res)
+
+    if remat:
+        # gradient checkpointing (the reference's --gradient_checkpointing,
+        # train_stage1.sh:18): trade recompute for activation memory
+        cn_fwd = jax.checkpoint(cn_fwd)
+        unet_fwd = jax.checkpoint(unet_fwd)
+    down_res, mid_res = cn_fwd(cn_params, inp)
+    pred = unet_fwd(inp, down_res, mid_res)
 
     denoised = pred * c_out + c_skip * noisy
     err = (denoised.astype(jnp.float32) - latents.astype(jnp.float32)) ** 2
@@ -129,14 +139,15 @@ def edm_loss(cn_params, bundle: ModelBundle, batch: dict, key: jax.Array,
 def make_train_step(bundle: ModelBundle, tx: optax.GradientTransformation,
                     cond_dropout_prob: Optional[float] = 0.1,
                     ldmk: bool = False, ema_decay: float = 0.9999,
-                    mesh=None):
+                    mesh=None, remat: bool = False):
     """Returns jittable (state, batch, key) -> (state, metrics)."""
 
     def train_step(state, batch, key):
         grad_fn = jax.value_and_grad(edm_loss, has_aux=True)
         (loss, metrics), grads = grad_fn(
             state.params, bundle, batch, key,
-            cond_dropout_prob=cond_dropout_prob, ldmk=ldmk, mesh=mesh)
+            cond_dropout_prob=cond_dropout_prob, ldmk=ldmk, mesh=mesh,
+            remat=remat)
         new_state = state.apply_gradients(grads, tx, ema_decay=ema_decay)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

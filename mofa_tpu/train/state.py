@@ -32,11 +32,22 @@ def make_optimizer(lr: float = 2e-5, weight_decay: float = 1e-2,
                    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
                    max_grad_norm: float = 1.0,
                    frozen_patterns: tuple[str, ...] = (),
-                   params: Any = None) -> optax.GradientTransformation:
-    """AdamW matching train_stage1.sh defaults (lr 2e-5, wd 1e-2, clip 1.0)."""
+                   params: Any = None,
+                   memory_lean: bool = False) -> optax.GradientTransformation:
+    """AdamW matching train_stage1.sh defaults (lr 2e-5, wd 1e-2, clip 1.0).
+
+    memory_lean: factored second moments (adafactor) — the TPU stand-in for
+    stage 2's bitsandbytes 8-bit Adam (train_stage2.sh:24), cutting
+    optimizer-state HBM instead of quantizing it."""
+    if memory_lean:
+        inner = optax.adafactor(lr, multiply_by_parameter_scale=False,
+                                weight_decay_rate=weight_decay)
+    else:
+        inner = optax.adamw(lr, b1=b1, b2=b2, eps=eps,
+                            weight_decay=weight_decay)
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
+        inner,
     )
     if frozen_patterns:
         assert params is not None, "need params to build the freeze mask"
