@@ -41,6 +41,9 @@ def build_parser():
     p.add_argument("--validation_steps", type=int, default=2500)
     p.add_argument("--conditioning_dropout_prob", type=float, default=0.1)
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="memory-lean optimizer (factored adafactor)")
     p.add_argument("--seed", type=int, default=23123134)
     p.add_argument("--resume_from_checkpoint", default=None,
                    help="'latest' or a step number")
@@ -98,46 +101,18 @@ def run(args):
             controlnet_params=shard_params(bundle.controlnet_params, mesh),
             unet_params=shard_params(bundle.unet_params, mesh))
 
-    # flow teacher
+    # flow teacher: GMFlow provides dense flow in both stages (stage 2
+    # samples sparse hints from it before CMP completion)
+    from mofa_tpu.train.inputs import make_stage1_batch, make_stage2_batch
+    gmflow, gm_params, size = _setup_gmflow(args, logger)
     if args.stage == 1:
-        from mofa_tpu.models.gmflow.model import GMFlow, GMFlowConfig
-        from mofa_tpu.train.inputs import make_stage1_batch
-        gm_cfg = (GMFlowConfig(num_transformer_layers=2, num_reg_refine=2)
-                  if args.tiny else GMFlowConfig())
-        gmflow = GMFlow(gm_cfg)
-        size = (64, 96) if args.tiny else (384, 512)
-        gm_params = jax.jit(lambda k: gmflow.init(
-            k, jnp.zeros((1,) + size + (3,)), jnp.zeros((1,) + size + (3,))))(
-            jax.random.PRNGKey(0))
-        if args.gmflow_ckpt:
-            from mofa_tpu.models.weights import (load_torch_checkpoint,
-                                                 convert_gmflow_state_dict)
-            gm_params = convert_gmflow_state_dict(
-                gm_params, load_torch_checkpoint(args.gmflow_ckpt))
-        else:
-            logger.warning("no --gmflow_ckpt: teacher runs with random weights")
         make_batch = lambda px, rng: make_stage1_batch(
             gmflow, gm_params, px, inference_size=size)
         frozen = ()
     else:
         from mofa_tpu.models.cmp.model import CMP
-        from mofa_tpu.train.inputs import make_stage1_batch, make_stage2_batch
         cmp_params = load_cmp_params(args.cmp_ckpt)
         cmp = CMP()
-        # stage2 still needs a dense-flow teacher to sample sparse hints from
-        from mofa_tpu.models.gmflow.model import GMFlow, GMFlowConfig
-        gm_cfg = (GMFlowConfig(num_transformer_layers=2, num_reg_refine=2)
-                  if args.tiny else GMFlowConfig())
-        gmflow = GMFlow(gm_cfg)
-        size = (64, 96) if args.tiny else (384, 512)
-        gm_params = jax.jit(lambda k: gmflow.init(
-            k, jnp.zeros((1,) + size + (3,)), jnp.zeros((1,) + size + (3,))))(
-            jax.random.PRNGKey(0))
-        if args.gmflow_ckpt:
-            from mofa_tpu.models.weights import (load_torch_checkpoint,
-                                                 convert_gmflow_state_dict)
-            gm_params = convert_gmflow_state_dict(
-                gm_params, load_torch_checkpoint(args.gmflow_ckpt))
 
         def make_batch(px, rng):
             dense = make_stage1_batch(gmflow, gm_params, px,
@@ -147,7 +122,8 @@ def run(args):
         frozen = STAGE2_FROZEN
 
     tx = make_optimizer(lr=args.learning_rate, frozen_patterns=frozen,
-                        params=bundle.controlnet_params)
+                        params=bundle.controlnet_params,
+                        memory_lean=args.use_8bit_adam)
     state = TrainState.create(bundle.controlnet_params, tx, ema=args.use_ema)
     accum = args.gradient_accumulation_steps
     if accum > 1:
@@ -157,7 +133,7 @@ def run(args):
     else:
         step_fn = jax.jit(make_train_step(
             bundle, tx, cond_dropout_prob=args.conditioning_dropout_prob,
-            ldmk=False, mesh=mesh))
+            ldmk=False, mesh=mesh, remat=args.gradient_checkpointing))
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
                              max_to_keep=args.checkpoints_total_limit,
@@ -208,6 +184,25 @@ def run(args):
         state.ema_params if state.ema_params is not None else state.params,
         os.path.join(args.output_dir, "adapter_final.npz"))
     logger.info(f"done; adapter at {args.output_dir}/adapter_final.npz")
+
+
+def _setup_gmflow(args, logger):
+    from mofa_tpu.models.gmflow.model import GMFlow, GMFlowConfig
+    gm_cfg = (GMFlowConfig(num_transformer_layers=2, num_reg_refine=2)
+              if args.tiny else GMFlowConfig())
+    gmflow = GMFlow(gm_cfg)
+    size = (64, 96) if args.tiny else (384, 512)
+    gm_params = jax.jit(lambda k: gmflow.init(
+        k, jnp.zeros((1,) + size + (3,)), jnp.zeros((1,) + size + (3,))))(
+        jax.random.PRNGKey(0))
+    if args.gmflow_ckpt:
+        from mofa_tpu.models.weights import (load_torch_checkpoint,
+                                             convert_gmflow_state_dict)
+        gm_params = convert_gmflow_state_dict(
+            gm_params, load_torch_checkpoint(args.gmflow_ckpt))
+    else:
+        logger.warning("no --gmflow_ckpt: teacher runs with random weights")
+    return gmflow, gm_params, size
 
 
 def _render_validation(args, bundle, state, px, batch, step_no, write_video,

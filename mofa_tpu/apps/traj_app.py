@@ -36,6 +36,7 @@ def build_parser():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--fps", type=int, default=7)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--decode_chunk_size", type=int, default=8)
     p.add_argument("--frame_parallel", action="store_true",
                    help="shard the denoise over all devices' frames axis")
     p.add_argument("--tiny", action="store_true",
@@ -111,6 +112,7 @@ def run(args):
                      min_guidance_scale=args.min_guidance,
                      max_guidance_scale=args.max_guidance,
                      controlnet_cond_scale=args.ctrl_scale,
+                     decode_chunk_size=args.decode_chunk_size,
                      key=jax.random.PRNGKey(args.seed))
     write_video(np.asarray(frames)[0], args.output, fps=args.fps)
     print(f"wrote {args.output} ({args.num_frames} frames @ {h}x{w})")
