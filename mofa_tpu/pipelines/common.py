@@ -121,6 +121,30 @@ def decode_latents(bundle: ModelBundle, latents: jnp.ndarray,
     return out.reshape((b, t) + out.shape[1:])
 
 
+def decode_latents_jit(bundle: ModelBundle, latents: jnp.ndarray,
+                       decode_chunk_size: int = 8) -> jnp.ndarray:
+    """decode_latents as its OWN jit program (one per chunk shape).
+
+    Keeping the VAE decode out of the denoise program lowers the combined
+    HBM peak — at 25-frame 512^2 bf16 the fused program exceeds a 16 GB
+    chip by ~0.8 GB while the split programs fit."""
+    vae = bundle.vae
+
+    @jax.jit
+    def dec(vp, chunk):
+        n = chunk.shape[0]
+        out = vae.apply(vp, chunk / vae.cfg.scaling_factor, n,
+                        method=AutoencoderKLTemporalDecoder.decode)
+        return out.astype(jnp.float32)
+
+    b, t = latents.shape[:2]
+    flat = latents.reshape((b * t,) + latents.shape[2:])
+    frames = [dec(bundle.vae_params, flat[i:i + decode_chunk_size])
+              for i in range(0, b * t, decode_chunk_size)]
+    out = jnp.concatenate(frames, axis=0)
+    return out.reshape((b, t) + out.shape[1:])
+
+
 def get_add_time_ids(fps: float, motion_bucket_id: float, noise_aug: float,
                      batch_size: int, do_cfg: bool) -> jnp.ndarray:
     ids = jnp.asarray([[fps, motion_bucket_id, noise_aug]], jnp.float32)

@@ -26,7 +26,7 @@ from mofa_tpu.ops.euler import make_euler_schedule, euler_step, scale_model_inpu
 from mofa_tpu.ops.resize import resize_nhwc
 from mofa_tpu.pipelines.common import (
     ModelBundle, encode_clip_image, encode_vae_image, decode_latents,
-    get_add_time_ids, postprocess_frames,
+    decode_latents_jit, get_add_time_ids, postprocess_frames,
 )
 
 
@@ -96,10 +96,11 @@ class HybridPipeline:
             sigmas, timesteps, jnp.float32(ctrl_scale_ldmk),
             jnp.float32(ctrl_scale_traj),
             num_steps=num_inference_steps, decode_chunk_size=decode_chunk_size,
-            return_latent=output_type == "latent")
+            return_latent=True)
         if output_type == "latent":
             return out, controlnet_flow
-        return postprocess_frames(out), controlnet_flow
+        frames = decode_latents_jit(self.bundle, out, decode_chunk_size)
+        return postprocess_frames(frames), controlnet_flow
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "num_steps", "decode_chunk_size", "return_latent"))

@@ -33,7 +33,7 @@ import numpy as np
 from mofa_tpu.ops.euler import make_euler_schedule, euler_step, scale_model_input
 from mofa_tpu.pipelines.common import (
     ModelBundle, encode_clip_image, encode_vae_image, decode_latents,
-    get_add_time_ids, postprocess_frames,
+    decode_latents_jit, get_add_time_ids, postprocess_frames,
 )
 
 
@@ -118,10 +118,11 @@ class KeypointPipeline:
             timesteps, idx, jnp.float32(controlnet_cond_scale),
             num_steps=num_inference_steps, window_size=window_size,
             decode_chunk_size=decode_chunk_size,
-            return_latent=output_type == "latent")
+            return_latent=True)
         if output_type == "latent":
             return out, controlnet_flow
-        return postprocess_frames(out), controlnet_flow
+        frames = decode_latents_jit(self.bundle, out, decode_chunk_size)
+        return postprocess_frames(frames), controlnet_flow
 
     @functools.partial(jax.jit, static_argnames=(
         "self", "num_steps", "window_size", "decode_chunk_size", "return_latent"))

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from mofa_tpu.ops.euler import make_euler_schedule, euler_step, scale_model_input
 from mofa_tpu.pipelines.common import (
     ModelBundle, encode_clip_image, encode_vae_image, decode_latents,
-    get_add_time_ids, postprocess_frames,
+    decode_latents_jit, get_add_time_ids, postprocess_frames,
 )
 
 
@@ -92,15 +92,18 @@ class TrajPipeline:
         sigmas = jnp.asarray(sched.sigmas)
         timesteps = jnp.asarray(sched.timesteps)
 
-        frames = self._denoise_and_decode(
+        out_latents = self._denoise_and_decode(
             self.bundle.unet_params, self.bundle.controlnet_params,
             self.bundle.vae_params, latents, image_latents, image_embeddings,
             added_time_ids, cond_image, flow_cfg, guidance, sigmas, timesteps,
             jnp.float32(controlnet_cond_scale),
             num_steps=num_inference_steps, decode_chunk_size=decode_chunk_size,
-            return_latent=output_type == "latent")
+            return_latent=True)
         if output_type == "latent":
-            return frames, controlnet_flow
+            return out_latents, controlnet_flow
+        # VAE decode runs as its own jit program (HBM peak, see common.py)
+        frames = decode_latents_jit(self.bundle, out_latents,
+                                    decode_chunk_size)
         return postprocess_frames(frames), controlnet_flow
 
     @functools.partial(jax.jit, static_argnames=("self", "num_steps",
