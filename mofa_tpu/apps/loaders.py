@@ -50,9 +50,12 @@ def _load_sd(path: str):
 
 
 def _init_and_convert(module, init_args, ckpt_subdir, desc, strict=True):
+    # Init on the HOST: keeps fp32 init tensors out of HBM entirely (the
+    # fp32->bf16 cast would otherwise transiently hold both copies on
+    # device, fragmenting a 16 GB chip before the real work starts).
     # close over args so non-array statics (e.g. VAE num_frames) stay python
     key, *rest = init_args
-    params = jax.jit(lambda k: module.init(k, *rest))(key)
+    params = jax.jit(lambda k: module.init(k, *rest), backend="cpu")(key)
     wpath = _find_weights(ckpt_subdir) if ckpt_subdir else None
     if wpath is None:
         print(f"[loaders] {desc}: no weights at {ckpt_subdir!r}; random init")
@@ -118,16 +121,21 @@ def load_bundle(svd_dir: Optional[str] = None,
 
     bundle = ModelBundle(unet, unet_params, cn, cn_params, vae, vae_params,
                          clip, clip_params, cn2, cn2_params)
-    if dtype != jnp.float32:
-        cast = lambda tr: jax.tree_util.tree_map(
+    device = jax.devices()[0]
+
+    def ship(tree):
+        # cast on host, then move ONLY the target-dtype copy to the device
+        tree = jax.tree_util.tree_map(
             lambda x: x.astype(dtype)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, tr)
-        bundle.unet_params = cast(bundle.unet_params)
-        bundle.controlnet_params = cast(bundle.controlnet_params)
-        bundle.vae_params = cast(bundle.vae_params)
-        bundle.clip_params = cast(bundle.clip_params)
-        if cn2_params is not None:
-            bundle.controlnet2_params = cast(bundle.controlnet2_params)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+        return jax.device_put(tree, device)
+
+    bundle.unet_params = ship(bundle.unet_params)
+    bundle.controlnet_params = ship(bundle.controlnet_params)
+    bundle.vae_params = ship(bundle.vae_params)
+    bundle.clip_params = ship(bundle.clip_params)
+    if cn2_params is not None:
+        bundle.controlnet2_params = ship(bundle.controlnet2_params)
     return bundle
 
 

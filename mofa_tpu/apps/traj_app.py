@@ -92,6 +92,13 @@ def run(args):
             image_384, jnp.asarray(s_flow)[None],
             jnp.asarray(np.repeat(mask[..., None], 2, -1))[None], h, w)
 
+    # the CMP engine and its jit workspace are no longer needed; free the
+    # device memory before loading the diffusion bundle (HBM headroom)
+    flow = jax.block_until_ready(flow)
+    del engine
+    import gc
+    gc.collect()
+
     cfg_kw = {}
     if args.tiny:
         from mofa_tpu.models.svd_unet import MICRO_UNET_CONFIG
