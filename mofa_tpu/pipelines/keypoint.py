@@ -64,6 +64,17 @@ class KeypointPipeline:
         self.bug_compat = bug_compat
         self.mesh = mesh
 
+    # jit caches key on `self`: make equal-configured pipelines over the
+    # same bundle/mesh share compiled programs across instances
+    def __hash__(self):
+        return hash((id(self.bundle), id(self.mesh), self.bug_compat))
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and other.bundle is self.bundle
+                and other.mesh is self.mesh
+                and other.bug_compat == self.bug_compat)
+
     def __call__(self, image01: jnp.ndarray, controlnet_flow: jnp.ndarray,
                  landmarks: jnp.ndarray,
                  window_size: int = 25, stride: int = 12,

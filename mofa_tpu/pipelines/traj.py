@@ -41,6 +41,17 @@ class TrajPipeline:
         self.bug_compat = bug_compat
         self.mesh = mesh
 
+    # jit caches key on `self`: make equal-configured pipelines over the
+    # same bundle/mesh share compiled programs across instances
+    def __hash__(self):
+        return hash((id(self.bundle), id(self.mesh), self.bug_compat))
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and other.bundle is self.bundle
+                and other.mesh is self.mesh
+                and other.bug_compat == self.bug_compat)
+
     def __call__(self, image01: jnp.ndarray, controlnet_flow: jnp.ndarray,
                  num_inference_steps: int = 25,
                  min_guidance_scale: float = 1.0, max_guidance_scale: float = 3.0,
