@@ -43,3 +43,14 @@ def test_traj_pipeline_latent_output_deterministic():
                    key=jax.random.PRNGKey(7))
     np.testing.assert_array_equal(np.asarray(lat1), np.asarray(lat2))
     assert lat1.shape == (1, T, H // 8, W // 8, 4)
+
+
+def test_decode_latents_jit_matches_inline():
+    import numpy as np
+    from mofa_tpu.pipelines.common import decode_latents, decode_latents_jit
+    bundle = _bundle()
+    rng = np.random.RandomState(5)
+    lat = jnp.asarray(rng.randn(1, 3, H // 8, W // 8, 4).astype(np.float32))
+    a = np.asarray(decode_latents(bundle, lat, decode_chunk_size=2))
+    b = np.asarray(decode_latents_jit(bundle, lat, decode_chunk_size=2))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
