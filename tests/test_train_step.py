@@ -145,3 +145,23 @@ def test_init_adapter_from_unet(bundle):
     kept = jax.tree_util.tree_leaves(trunk["add_embedding"])
     for o, k in zip(orig, kept):
         np.testing.assert_array_equal(np.asarray(o), np.asarray(k))
+
+
+def test_ldmk_adapter_train_step():
+    """EDM step through the landmark adapter (occlusion heads + landmark
+    embedding in the grad path)."""
+    bundle = ModelBundle.init_random(
+        jax.random.PRNGKey(1), MICRO_UNET_CONFIG, TINY_VAE_CONFIG,
+        TINY_CLIP_CONFIG, ldmk=True, image_size=(H, W), num_frames=T)
+    tx = make_optimizer(lr=1e-3)
+    state = TrainState.create(bundle.controlnet_params, tx)
+    step = jax.jit(make_train_step(bundle, tx, ldmk=True))
+    rng = np.random.RandomState(4)
+    batch = _batch(rng)
+    batch["landmarks"] = jnp.asarray(rng.rand(B, T, H, W, 3), jnp.float32)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+    changed = jax.tree_util.tree_map(
+        lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
+        state.params, new_state.params)
+    assert any(jax.tree_util.tree_leaves(changed))
