@@ -37,6 +37,9 @@ def build_parser():
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--decode_chunk_size", type=int, default=8)
+    p.add_argument("--small_programs", action="store_true",
+                   help="jit per window step instead of one scan-of-scans "
+                        "program (lighter compile; long videos)")
     p.add_argument("--frame_parallel", action="store_true",
                    help="shard the denoise over all devices' frames axis")
     p.add_argument("--tiny", action="store_true",
@@ -82,7 +85,8 @@ def run(args):
     if args.frame_parallel:
         from mofa_tpu.core.mesh import make_mesh
         mesh = make_mesh(data=1, frames=len(jax.devices()))
-    pipe = KeypointPipeline(bundle, mesh=mesh)
+    pipe = KeypointPipeline(bundle, mesh=mesh,
+                            big_program=not args.small_programs)
     frames, _ = pipe(image_j, flow, jnp.asarray(ldmk_imgs)[None],
                      window_size=args.window_size, stride=args.stride,
                      num_inference_steps=args.num_inference_steps,

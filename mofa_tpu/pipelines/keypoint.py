@@ -59,21 +59,29 @@ class KeypointPipeline:
     """Windowed landmark-driven pipeline (LdmkFlowControlNet adapter)."""
 
     def __init__(self, bundle: ModelBundle, bug_compat: bool = True,
-                 mesh=None):
+                 mesh=None, big_program: bool = True):
+        """big_program=True compiles the whole steps-x-views denoise as one
+        scan-of-scans jit (fastest steady state). big_program=False uses a
+        jitted single-window step driven by host loops — a much smaller
+        XLA program (the 125-frame/10-view/25-step monolith can exhaust
+        constrained compile environments)."""
         self.bundle = bundle
         self.bug_compat = bug_compat
         self.mesh = mesh
+        self.big_program = big_program
 
     # jit caches key on `self`: make equal-configured pipelines over the
     # same bundle/mesh share compiled programs across instances
     def __hash__(self):
-        return hash((id(self.bundle), id(self.mesh), self.bug_compat))
+        return hash((id(self.bundle), id(self.mesh), self.bug_compat,
+                     self.big_program))
 
     def __eq__(self, other):
         return (type(other) is type(self)
                 and other.bundle is self.bundle
                 and other.mesh is self.mesh
-                and other.bug_compat == self.bug_compat)
+                and other.bug_compat == self.bug_compat
+                and other.big_program == self.big_program)
 
     def __call__(self, image01: jnp.ndarray, controlnet_flow: jnp.ndarray,
                  landmarks: jnp.ndarray,
@@ -122,7 +130,9 @@ class KeypointPipeline:
         sigmas = jnp.asarray(sched.sigmas)
         timesteps = jnp.asarray(sched.timesteps)
 
-        out = self._denoise_and_decode(
+        denoise = (self._denoise_and_decode if self.big_program
+                   else self._denoise_small_programs)
+        out = denoise(
             self.bundle.unet_params, self.bundle.controlnet_params,
             self.bundle.vae_params, latents, image_latents, image_embeddings,
             added_time_ids, cond_image, flow_cfg, ldmk_cfg, guidance, sigmas,
@@ -219,3 +229,72 @@ class KeypointPipeline:
             return latents
         return decode_latents(bundle, latents, decode_chunk_size,
                               vae_params=vae_params)
+
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _window_inject(self, cn_params, cond_image, flow_v, ldmk_v):
+        cn = self.bundle.controlnet
+        inject, _ = cn.apply(cn_params, cond_image, flow_v, ldmk_v,
+                             method=type(cn).encode_features)
+        return tuple(inject)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _window_step(self, unet_params, cn_params, win_lat, img_lat,
+                     image_embeddings, added_time_ids, inject_v, guidance,
+                     sigma, sigma_next, ts, cond_scale):
+        bundle = self.bundle
+        latent_in = jnp.concatenate([win_lat] * 2, axis=0)
+        latent_in = scale_model_input(latent_in, sigma)
+        latent_in = jnp.concatenate([latent_in, img_lat], axis=-1)
+        down_res, mid_res = bundle.controlnet.apply(
+            cn_params, latent_in, ts, image_embeddings, added_time_ids,
+            conditioning_scale=cond_scale,
+            precomputed_features=list(inject_v))
+        noise_pred = bundle.unet.apply(
+            unet_params, latent_in, ts, image_embeddings, added_time_ids,
+            down_block_additional_residuals=down_res,
+            mid_block_additional_residual=mid_res)
+        uncond, cond = jnp.split(noise_pred, 2, axis=0)
+        noise_pred = uncond + guidance.astype(cond.dtype) * (cond - uncond)
+        new_win, _ = euler_step(noise_pred, win_lat, sigma, sigma_next)
+        return new_win
+
+    def _denoise_small_programs(self, unet_params, cn_params, vae_params,
+                                latents, image_latents, image_embeddings,
+                                added_time_ids, cond_image, flow_cfg,
+                                ldmk_cfg, guidance, sigmas, timesteps, idx,
+                                cond_scale, *, num_steps, window_size,
+                                decode_chunk_size, return_latent):
+        """Host-driven loops over steps/views; each window step is one
+        small reused jit program (semantics identical to the scan path)."""
+        del decode_chunk_size, return_latent  # decode happens in __call__
+        idx_np = np.asarray(idx)
+        n_views = idx_np.shape[0]
+        injects = []
+        for v in range(n_views):
+            iv = jnp.asarray(idx_np[v])
+            flow_v = jnp.take(flow_cfg, iv[1:] - 1, axis=1)
+            ldmk_v = jnp.take(ldmk_cfg, iv, axis=1)
+            injects.append(self._window_inject(cn_params, cond_image,
+                                               flow_v, ldmk_v))
+        lat = latents
+        for i in range(num_steps):
+            value = jnp.zeros_like(lat)
+            count = jnp.zeros_like(lat)
+            for v in range(n_views):
+                iv = idx_np[v]
+                win = jnp.take(lat, jnp.asarray(iv), axis=1)
+                img = jnp.take(image_latents, jnp.asarray(iv), axis=1)
+                new_win = self._window_step(
+                    unet_params, cn_params, win, img, image_embeddings,
+                    added_time_ids, injects[v], guidance, sigmas[i],
+                    sigmas[i + 1], timesteps[i], cond_scale)
+                w = np.ones((window_size,), np.float32)
+                if v != 0:
+                    w[0] = 0.0   # anchor counted only for the first view
+                wv = jnp.asarray(w)[None, :, None, None, None]
+                value = value.at[:, jnp.asarray(iv)].add(new_win * wv)
+                count = count.at[:, jnp.asarray(iv)].add(
+                    jnp.broadcast_to(wv, new_win.shape))
+            lat = jnp.where(count > 0, value / count, value)
+        return lat

@@ -96,3 +96,20 @@ def test_hybrid_mask_extremes_select_adapter():
     lat_face, _ = pipe(image, flow, drag, ldmk, jnp.ones((1, H, W, 1)), **kw)
     lat_drag, _ = pipe(image, flow, drag, ldmk, jnp.zeros((1, H, W, 1)), **kw)
     assert not np.allclose(np.asarray(lat_face), np.asarray(lat_drag))
+
+
+def test_keypoint_small_program_matches_big():
+    t, win, stride = 7, 4, 2
+    bundle = ModelBundle.init_random(
+        jax.random.PRNGKey(7), MICRO_UNET_CONFIG, TINY_VAE_CONFIG,
+        TINY_CLIP_CONFIG, ldmk=True, image_size=(H, W), num_frames=win)
+    rng = np.random.RandomState(9)
+    image = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+    flow = jnp.asarray(rng.randn(1, t - 1, H, W, 2).astype(np.float32))
+    ldmk = jnp.asarray(rng.rand(1, t, H, W, 3).astype(np.float32))
+    kw = dict(window_size=win, stride=stride, num_inference_steps=2,
+              output_type="latent", key=jax.random.PRNGKey(3))
+    big, _ = KeypointPipeline(bundle, big_program=True)(image, flow, ldmk, **kw)
+    small, _ = KeypointPipeline(bundle, big_program=False)(image, flow, ldmk, **kw)
+    np.testing.assert_allclose(np.asarray(small), np.asarray(big),
+                               atol=3e-4, rtol=3e-4)
