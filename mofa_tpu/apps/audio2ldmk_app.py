@@ -47,6 +47,9 @@ def build_parser():
     p.add_argument("--exp_ckpt", default=None)
     p.add_argument("--pose_ckpt", default=None)
     p.add_argument("--pose_style", type=int, default=0)
+    p.add_argument("--face3dvis", action="store_true",
+                   help="also render 3dface.mp4 (z-buffer BFM raster) and "
+                        "the landmark-dot video, as inference.py --face3dvis")
     p.add_argument("--tiny", action="store_true")
     return p
 
@@ -140,14 +143,38 @@ def run_sadtalker(args):
             pose_params, load_torch_checkpoint(args.pose_ckpt), strict=False)
 
     wav = load_wav(args.audio_path, args.sr)
-    landmarks = sadtalker_audio_to_landmarks(
+    landmarks, all_coeffs = sadtalker_audio_to_landmarks(
         exp_net, exp_params, pose_net, pose_params, bfm, wav, coeff257,
-        trans_params, crop_info, pose_style=args.pose_style, fps=args.fps)
+        trans_params, crop_info, pose_style=args.pose_style, fps=args.fps,
+        return_coeffs=True)
 
     os.makedirs(args.save_dir, exist_ok=True)
     out = os.path.join(args.save_dir, "landmarks.npy")
     np.save(out, landmarks)
     print(f"wrote {out} {landmarks.shape}")
+    if args.face3dvis:
+        _write_face3dvis(args, landmarks, all_coeffs)
+
+
+def _write_face3dvis(args, landmarks, all_coeffs):
+    """visualize.py:99-129 — 3dface.mp4 (rendered BFM mesh, 224x224) and
+    the landmark-dot video on a white canvas at the source image size."""
+    from mofa_tpu.apps.loaders import write_video
+    from mofa_tpu.models.audio.face3d_render import (
+        draw_landmark_video, render_face_video)
+    from mofa_tpu.models.audio.sadtalker import BFMModel
+
+    bfm = BFMModel.load(args.bfm_mat, with_render_data=True)
+    frames = render_face_video(bfm, all_coeffs[1:])  # predicted track
+    write_video(frames.astype(np.float32) / 255.0,
+                os.path.join(args.save_dir, "3dface.mp4"), fps=args.fps)
+    from PIL import Image
+    w, h = Image.open(args.ref_image_path).size
+    dots = draw_landmark_video(landmarks, h, w)
+    write_video(dots.astype(np.float32) / 255.0,
+                os.path.join(args.save_dir, "landmarks_vis.mp4"),
+                fps=args.fps)
+    print(f"wrote {os.path.join(args.save_dir, '3dface.mp4')}")
 
 
 def run_video(args):

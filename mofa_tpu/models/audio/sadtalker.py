@@ -376,19 +376,34 @@ class BFMModel:
     focal: float = 1015.0
     center: float = 112.0
     camera_distance: float = 10.0
+    # render-path data (bfm.py:50-58), present when loaded with
+    # with_render_data=True; consumed by audio/face3d_render.py
+    tex_base: Optional[np.ndarray] = None    # [N*3, 80]
+    mean_tex: Optional[np.ndarray] = None    # [N*3]
+    face_buf: Optional[np.ndarray] = None    # [F, 3] vertex ids
+    point_buf: Optional[np.ndarray] = None   # [N, 8] face ids
 
     @classmethod
-    def load(cls, mat_path: str) -> "BFMModel":
+    def load(cls, mat_path: str, with_render_data: bool = False) -> "BFMModel":
         from scipy.io import loadmat
         m = loadmat(mat_path)
         mean_shape = m["meanshape"].astype(np.float32).reshape(-1)
         # recenter (bfm.py:68-72)
         ms = mean_shape.reshape(-1, 3)
         ms = ms - ms.mean(axis=0, keepdims=True)
+        extra = {}
+        if with_render_data:
+            extra = dict(
+                tex_base=m["texBase"].astype(np.float32),
+                mean_tex=m["meantex"].astype(np.float32).reshape(-1),
+                face_buf=m["tri"].astype(np.int64) - 1,
+                point_buf=m["point_buf"].astype(np.int64) - 1,
+            )
         return cls(mean_shape=ms.reshape(-1),
                    id_base=m["idBase"].astype(np.float32),
                    exp_base=m["exBase"].astype(np.float32),
-                   keypoints=np.squeeze(m["keypoints"]).astype(np.int64) - 1)
+                   keypoints=np.squeeze(m["keypoints"]).astype(np.int64) - 1,
+                   **extra)
 
     def landmarks(self, coeffs: np.ndarray) -> np.ndarray:
         """[B, 257] full coeffs -> [B, 68, 2] landmarks in 224-crop coords
@@ -454,10 +469,13 @@ def sadtalker_audio_to_landmarks(exp_net, exp_params, pose_net, pose_params,
                                  first_frame_coeff257: np.ndarray,
                                  trans_params: np.ndarray, crop_info,
                                  pose_style: int = 0, fps: int = 25,
-                                 key=None, still: bool = False) -> np.ndarray:
+                                 key=None, still: bool = False,
+                                 return_coeffs: bool = False):
     """Full SadTalker --face3dvis landmark path (inference.py:31-134 +
     visualize.py:20-133): wav + first-frame 3DMM fit -> [T+1, 68, 2]
-    landmarks in original image coords (frame 0 = reference pose)."""
+    landmarks in original image coords (frame 0 = reference pose).
+    With return_coeffs, also returns the composed [T+1, 257] coefficient
+    track (consumed by face3d_render.render_face_video)."""
     ref70 = np.concatenate([first_frame_coeff257[0, 80:144],
                             first_frame_coeff257[0, 224:227],
                             first_frame_coeff257[0, 254:257]])
@@ -467,14 +485,16 @@ def sadtalker_audio_to_landmarks(exp_net, exp_params, pose_net, pose_params,
     full = compose_full_coeffs(first_frame_coeff257, coeffs)
     all_coeffs = np.concatenate([first_frame_coeff257, full], axis=0)
     lm224 = bfm.landmarks(all_coeffs)
-    return uncrop_landmarks(lm224, trans_params, crop_info)
+    lm = uncrop_landmarks(lm224, trans_params, crop_info)
+    return (lm, all_coeffs) if return_coeffs else lm
 
 
 def sadtalker_video_to_landmarks(bfm: BFMModel,
                                  first_frame_coeff257: np.ndarray,
                                  driving_coeffs70: np.ndarray,
                                  trans_params: np.ndarray, crop_info,
-                                 relative_pose: bool = True) -> np.ndarray:
+                                 relative_pose: bool = True,
+                                 return_coeffs: bool = False):
     """Video-driven retargeting (sadtalker_video2pose path): the driving
     video's per-frame exp+pose track (the --ref_pose flow of
     run_gradio_video_driven.py) steers the reference identity. Per-frame
@@ -488,4 +508,5 @@ def sadtalker_video_to_landmarks(bfm: BFMModel,
                                              - coeffs[0:1, 64:70])
     full = compose_full_coeffs(first_frame_coeff257, coeffs)
     all_coeffs = np.concatenate([first_frame_coeff257, full], axis=0)
-    return uncrop_landmarks(bfm.landmarks(all_coeffs), trans_params, crop_info)
+    lm = uncrop_landmarks(bfm.landmarks(all_coeffs), trans_params, crop_info)
+    return (lm, all_coeffs) if return_coeffs else lm

@@ -421,3 +421,93 @@ def init_adapter_from_unet(cn_params: dict, unet_params: dict) -> dict:
         copied += 1
     assert copied >= 3, "from_unet copied suspiciously few modules"
     return out
+
+
+# ----------------------------------------------------------------- facerender
+
+def _fold_spectral_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Replace torch spectral_norm triplets (weight_orig/u/v) with the
+    effective weight W / sigma, sigma = u @ W.flat @ v (power-iterated
+    vectors stored in the checkpoint; eval mode does not update them)."""
+    out = {}
+    bases = {k[: -len(".weight_orig")] for k in sd if k.endswith(".weight_orig")}
+    for k, v in sd.items():
+        base = k.rsplit(".", 1)[0]
+        if base in bases and k.split(".")[-1] in ("weight_orig", "weight_u",
+                                                  "weight_v"):
+            continue
+        out[k] = v
+    for base in bases:
+        w = _to_numpy(sd[base + ".weight_orig"])
+        u = _to_numpy(sd[base + ".weight_u"])
+        v = _to_numpy(sd[base + ".weight_v"])
+        sigma = float(u @ w.reshape(w.shape[0], -1) @ v)
+        out[base + ".weight"] = w / sigma
+    return out
+
+
+_FACERENDER_RULES = {
+    "kp_detector": [
+        (r"^predictor\.down_blocks\.down(\d+)\.", r"predictor_down_\1."),
+        (r"^predictor\.up_blocks\.up(\d+)\.", r"predictor_up_\1."),
+        (r"^predictor\.conv\.", r"predictor_conv."),
+    ],
+    "he_estimator": [
+        # nn.Sequential 'b{n}_{i}' naming
+        (r"^block(\d)\.b\d_(\d+)\.", r"block\1_\2."),
+    ],
+    "mapping": [
+        (r"^first\.0\.", r"first."),
+        (r"^encoder(\d+)\.1\.", r"encoder_\1."),
+    ],
+    "generator": [
+        (r"^(first|second|third|fourth)\.", r"trunk.\1."),
+        (r"^down_blocks\.(\d+)\.", r"trunk.down_\1."),
+        (r"^resblocks_3d\.3dr(\d+)\.", r"trunk.resblock3d_\1."),
+        (r"^dense_motion_network\.", r"trunk.dense_motion_network."),
+        (r"(dense_motion_network\.hourglass)\.encoder\.down_blocks\.(\d+)\.",
+         r"\1.down_\2."),
+        (r"(dense_motion_network\.hourglass)\.decoder\.up_blocks\.(\d+)\.",
+         r"\1.up_\2."),
+        (r"(dense_motion_network\.hourglass)\.decoder\.(conv|norm)\.",
+         r"\1.\2."),
+        # plain (non-SPADE) generator decoder
+        (r"^resblocks_2d\.2dr(\d+)\.", r"resblock2d_\1."),
+        (r"^up_blocks\.(\d+)\.conv\.", r"up_\1_conv."),
+        (r"^up_blocks\.(\d+)\.norm\.", r"up_\1_norm."),
+        # SPADE mlp_shared Sequential
+        (r"\.mlp_shared\.0\.", r".mlp_shared."),
+    ],
+}
+
+
+def convert_facerender_state_dict(flax_params: dict,
+                                  torch_sd: Dict[str, np.ndarray],
+                                  net: str = "generator",
+                                  prefix: str = "",
+                                  strict: bool = True) -> dict:
+    """facerender torch/safetensors state dict -> models/facerender trees.
+
+    `net` selects the remap rule set ('generator' | 'kp_detector' |
+    'mapping' | 'he_estimator'); `prefix` selects one network from a
+    combined checkpoint (the reference `SadTalker_V0.0.2_256.safetensors`
+    stores generator/kp_extractor/mapping/he_estimator side by side,
+    `animate.py:62-86`)."""
+    sub = {}
+    for k, v in torch_sd.items():
+        k = re.sub(r"^(module\.)+", "", k)
+        if prefix:
+            if not k.startswith(prefix):
+                continue
+            k = k[len(prefix):]
+        if ("num_batches_tracked" in k or k == "down.weight"
+                or re.search(r"\.sigma$", k)):
+            continue  # BN counters / fixed antialias kernel
+        sub[k] = v
+    sub = _fold_spectral_norm(sub)
+    remapped = {}
+    for k, v in sub.items():
+        for pat, rep in _FACERENDER_RULES[net]:
+            k = re.sub(pat, rep, k)
+        remapped[k] = v
+    return convert_torch_state_dict(flax_params, remapped, strict=strict)
