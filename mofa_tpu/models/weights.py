@@ -511,3 +511,63 @@ def convert_facerender_state_dict(flax_params: dict,
             k = re.sub(pat, rep, k)
         remapped[k] = v
     return convert_torch_state_dict(flax_params, remapped, strict=strict)
+
+
+# ----------------------------------------------------------------- pirender
+
+_PIRENDER_RULES = [
+    # mapping net Sequential wrappers
+    (r"(^|\.)first\.0\.", r"\1first."),
+    (r"(^|\.)encoder(\d+)\.1\.", r"\1encoder_\2."),
+    # ADAIN hourglass module nesting
+    (r"hourglass\.encoder\.input_layer\.", r"hourglass.input_layer."),
+    (r"hourglass\.encoder\.encoder(\d+)\.", r"hourglass.encoder_\1."),
+    (r"hourglass\.decoder\.decoder(\d+)\.", r"hourglass.decoder_\1."),
+    # flow head Sequential (norm, act, conv)
+    (r"flow_out\.0\.", r"flow_norm."),
+    (r"flow_out\.2\.", r"flow_conv."),
+    # fine encoder/decoder Sequential blocks
+    (r"encoder\.first\.model\.0\.", r"encoder.first_conv."),
+    (r"encoder\.first\.model\.1\.", r"encoder.first_norm."),
+    (r"encoder\.down(\d+)\.model\.0\.", r"encoder.down_\1_conv."),
+    (r"encoder\.down(\d+)\.model\.1\.", r"encoder.down_\1_norm."),
+    (r"decoder\.res(\d+)\.res(\d+)\.", r"decoder.res_\1_\2."),
+    (r"decoder\.up(\d+)\.model\.0\.", r"decoder.up_\1_conv."),
+    (r"decoder\.up(\d+)\.model\.1\.", r"decoder.up_\1_norm."),
+    (r"decoder\.jump(\d+)\.model\.0\.", r"decoder.jump_\1_conv."),
+    (r"decoder\.jump(\d+)\.model\.1\.", r"decoder.jump_\1_norm."),
+    (r"decoder\.final\.model\.0\.", r"decoder.final_conv."),
+    # ADAIN mlp_shared Sequential
+    (r"\.mlp_shared\.0\.", r".mlp_shared."),
+]
+
+
+def convert_pirender_state_dict(flax_params: dict,
+                                torch_sd: Dict[str, np.ndarray],
+                                prefix: str = "",
+                                strict: bool = True) -> dict:
+    """PIRenderer FaceGenerator state dict -> models/pirender tree.
+
+    Special cases: ConvTranspose2d weights ([I, O, kh, kw]) inside the
+    ADAIN decoder blocks are flipped + laid out HWIO here (the runtime
+    realizes the transpose conv as an input-dilated conv); LayerNorm2d
+    [C,1,1] affines squeeze to [C]."""
+    remapped = {}
+    for k, v in torch_sd.items():
+        k = re.sub(r"^(module\.)+", "", k)
+        if prefix:
+            if not k.startswith(prefix):
+                continue
+            k = k[len(prefix):]
+        if "num_batches_tracked" in k:
+            continue
+        for pat, rep in _PIRENDER_RULES:
+            k = re.sub(pat, rep, k)
+        v = _to_numpy(v)
+        if re.search(r"hourglass\.decoder_\d+\.(conv_1|conv_s)\.weight$", k):
+            v = np.flip(v, (2, 3)).transpose(2, 3, 0, 1).copy()
+            k = k[: -len("weight")] + "kernel"
+        elif k.endswith(".weight") and v.ndim == 3 and v.shape[1:] == (1, 1):
+            v = v.reshape(-1)  # LayerNorm2d affine [C,1,1]
+        remapped[k] = v
+    return convert_torch_state_dict(flax_params, remapped, strict=strict)

@@ -1,0 +1,110 @@
+"""Ablation profiler for the denoise step on the real chip.
+
+Times the frozen-UNet and adapter forward passes separately at the bench
+shape (576x1024, CFG2 x T frames), optionally with spatial attention
+stubbed to identity, to attribute step time between attention and the
+conv/temporal stack. Each measurement is its own jit program; results
+print immediately (run with `python -u tools/profile_step.py`).
+
+Usage: python -u tools/profile_step.py [--t 7] [--what unet cn unet_noattn cn_noattn]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", type=int, default=7)
+    ap.add_argument("--h", type=int, default=576)
+    ap.add_argument("--w", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--what", nargs="+",
+                    default=["unet", "unet_noattn"],
+                    choices=["unet", "cn", "unet_noattn", "cn_noattn"])
+    args = ap.parse_args()
+
+    from mofa_tpu.models.svd_unet import (SVDUNetConfig,
+                                          UNetSpatioTemporalConditionModel)
+    from mofa_tpu.models.mofa_adapter import FlowControlNet
+    import mofa_tpu.kernels.attention as katt
+
+    cfg = SVDUNetConfig()
+    dtype = jnp.bfloat16
+    t, h, w = args.t, args.h, args.w
+    unet = UNetSpatioTemporalConditionModel(cfg)
+    cn = FlowControlNet(cfg)
+    key = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, t, h // 8, w // 8, cfg.in_channels), dtype)
+    ehs = jnp.zeros((1, 1, cfg.cross_attention_dim), dtype)
+    ids = jnp.zeros((1, 3), dtype)
+    cond = jnp.zeros((1, h, w, 3), dtype)
+    flow = jnp.zeros((1, t - 1, h, w, 2), dtype)
+
+    cast = lambda tree: jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, tree)
+    t0 = time.perf_counter()
+    up = cast(jax.jit(unet.init)(key, sample, 1.0, ehs, ids))
+    jax.block_until_ready(up)
+    print(f"unet init {time.perf_counter()-t0:.0f}s", flush=True)
+    cp = None
+    if any(x.startswith("cn") for x in args.what):
+        t0 = time.perf_counter()
+        cp = cast(jax.jit(cn.init)(key, sample, 1.0, ehs, ids, cond, flow))
+        jax.block_until_ready(cp)
+        print(f"cn init {time.perf_counter()-t0:.0f}s", flush=True)
+
+    lat2 = jnp.zeros((2, t, h // 8, w // 8, 8), dtype)
+    ehs2 = jnp.zeros((2, 1, cfg.cross_attention_dim), dtype)
+    ids2 = jnp.zeros((2, 3), dtype)
+
+    def timeit(fn, iters):
+        @jax.jit
+        def run(lat):
+            def body(c, _):
+                o = fn(lat + c.astype(dtype))
+                return jnp.float32(jnp.sum(o.astype(jnp.float32)) * 1e-30), None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return c
+        t0 = time.perf_counter()
+        float(run(lat2))
+        print(f"  compile+warmup {time.perf_counter()-t0:.0f}s", flush=True)
+        t0 = time.perf_counter()
+        float(run(lat2))
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    def unet_fn(lat):
+        return unet.apply(up, lat, 500.0, ehs2, ids2)
+
+    inject = None
+    if cp is not None:
+        cond2 = jnp.zeros((2, h, w, 3), dtype)
+        flow2 = jnp.zeros((2, t - 1, h, w, 2), dtype)
+        inject = jax.block_until_ready(cn.apply(
+            cp, cond2, flow2, method=FlowControlNet.encode_features))
+
+    def cn_fn(lat):
+        d, m = cn.apply(cp, lat, 500.0, ehs2, ids2,
+                        precomputed_features=inject)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in d) \
+            + jnp.sum(m.astype(jnp.float32))
+
+    orig = katt.dot_product_attention
+    ident = lambda q, k, v: v if q.shape[1] == k.shape[1] else orig(q, k, v)
+    for what in args.what:
+        noattn = what.endswith("_noattn")
+        katt.dot_product_attention = ident if noattn else orig
+        fn = unet_fn if what.startswith("unet") else cn_fn
+        ms = timeit(fn, args.iters)
+        print(f"{what}: {ms:.1f} ms", flush=True)
+    katt.dot_product_attention = orig
+
+
+if __name__ == "__main__":
+    main()
