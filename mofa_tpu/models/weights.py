@@ -571,3 +571,24 @@ def convert_pirender_state_dict(flax_params: dict,
             v = v.reshape(-1)  # LayerNorm2d affine [C,1,1]
         remapped[k] = v
     return convert_torch_state_dict(flax_params, remapped, strict=strict)
+
+
+# ----------------------------------------------------------------- face3d fit
+
+def convert_face3d_recon_state_dict(flax_params: dict,
+                                    torch_sd: Dict[str, np.ndarray],
+                                    strict: bool = True) -> dict:
+    """ReconNetWrapper (networks.py:69-105) state dict -> audio/face3d_fit
+    ReconNet tree."""
+    remapped = {}
+    for k, v in torch_sd.items():
+        k = re.sub(r"^(module\.)+", "", k)
+        if "num_batches_tracked" in k:
+            continue
+        k = re.sub(r"^backbone\.layer(\d)\.(\d+)\.", r"layer\1_\2.", k)
+        k = re.sub(r"^backbone\.", "", k)
+        k = k.replace(".downsample.0.", ".downsample_conv.")
+        k = k.replace(".downsample.1.", ".downsample_bn.")
+        k = re.sub(r"^final_layers\.(\d+)\.", r"head_\1.", k)
+        remapped[k] = v
+    return convert_torch_state_dict(flax_params, remapped, strict=strict)

@@ -12,7 +12,11 @@ Usage: python -u tools/profile_step.py [--t 7] [--what unet cn unet_noattn cn_no
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -64,33 +68,37 @@ def main():
     ehs2 = jnp.zeros((2, 1, cfg.cross_attention_dim), dtype)
     ids2 = jnp.zeros((2, 3), dtype)
 
-    def timeit(fn, iters):
+    def timeit(fn, params, iters):
+        # params ride as jit ARGS — closing over them would embed GBs of
+        # constants into the lowered program and blow up compile time
         @jax.jit
-        def run(lat):
+        def run(params, lat):
             def body(c, _):
-                o = fn(lat + c.astype(dtype))
+                o = fn(params, lat + c.astype(dtype))
                 return jnp.float32(jnp.sum(o.astype(jnp.float32)) * 1e-30), None
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
             return c
         t0 = time.perf_counter()
-        float(run(lat2))
+        float(run(params, lat2))
         print(f"  compile+warmup {time.perf_counter()-t0:.0f}s", flush=True)
         t0 = time.perf_counter()
-        float(run(lat2))
+        float(run(params, lat2))
         return (time.perf_counter() - t0) / iters * 1e3
 
-    def unet_fn(lat):
-        return unet.apply(up, lat, 500.0, ehs2, ids2)
+    def unet_fn(params, lat):
+        return unet.apply(params, lat, 500.0, ehs2, ids2)
 
     inject = None
     if cp is not None:
         cond2 = jnp.zeros((2, h, w, 3), dtype)
         flow2 = jnp.zeros((2, t - 1, h, w, 2), dtype)
-        inject = jax.block_until_ready(cn.apply(
-            cp, cond2, flow2, method=FlowControlNet.encode_features))
+        inject = jax.block_until_ready(jax.jit(
+            lambda p, c, f: cn.apply(p, c, f,
+                                     method=FlowControlNet.encode_features)
+        )(cp, cond2, flow2))
 
-    def cn_fn(lat):
-        d, m = cn.apply(cp, lat, 500.0, ehs2, ids2,
+    def cn_fn(params, lat):
+        d, m = cn.apply(params, lat, 500.0, ehs2, ids2,
                         precomputed_features=inject)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in d) \
             + jnp.sum(m.astype(jnp.float32))
@@ -100,8 +108,9 @@ def main():
     for what in args.what:
         noattn = what.endswith("_noattn")
         katt.dot_product_attention = ident if noattn else orig
-        fn = unet_fn if what.startswith("unet") else cn_fn
-        ms = timeit(fn, args.iters)
+        fn, params = ((unet_fn, up) if what.startswith("unet")
+                      else (cn_fn, cp))
+        ms = timeit(fn, params, args.iters)
         print(f"{what}: {ms:.1f} ms", flush=True)
     katt.dot_product_attention = orig
 
