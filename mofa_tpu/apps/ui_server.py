@@ -14,6 +14,10 @@ Endpoints (JSON unless noted):
                     hint: dataURL} — per-click CMP flow preview, the
                     run_gradio.py:372-485 get_cmp_flow_from_tracking_points
   POST /run         {image, tracks, brush?, params...} -> {video: /video}
+  POST /run_landmarks  {image, landmarks (b64 .npy), mode: hybrid|keypoint,
+                    tracks?, brush? (face mask)} — the audio/video-driven
+                    workloads (run_gradio_audio_driven.py Drag.run /
+                    mofa_keypoint.py), routed through the CLI runners
   GET  /video       last rendered mp4
 
 State lives in the browser (tracks array, brush canvas); the server is
@@ -49,6 +53,12 @@ img{border:1px solid #555}</style></head><body>
 <button id="clear" class="alt">Clear</button>
 <button id="preview">Preview flow</button>
 <button id="run">Run</button>
+</div>
+<div>
+<select id="lmmode"><option value="hybrid">hybrid (dual adapter)</option>
+<option value="keypoint">keypoint (long video)</option></select>
+<input type="file" id="lmfile" accept=".npy">
+<button id="runlm">Run landmarks</button>
 </div></div>
 <div class="col"><img id="flow" width="256"><img id="hint" width="256">
 <video id="out" width="256" controls></video></div></div>
@@ -97,6 +107,17 @@ document.getElementById('run').onclick=async()=>{ log('rendering…');
  try{ const r=await post('/run',{image:img.src,
   tracks:tracks.filter(t=>t.length>1),
   brush:bc.toDataURL()});
+  document.getElementById('out').src=r.video+'?t='+Date.now(); log(''); }
+ catch(e){log(e.message)} };
+document.getElementById('runlm').onclick=async()=>{
+ const f=document.getElementById('lmfile').files[0];
+ if(!f){log('choose a landmarks .npy');return;}
+ log('rendering (landmarks)…');
+ const buf=await f.arrayBuffer();
+ const b64=btoa(String.fromCharCode(...new Uint8Array(buf)));
+ try{ const r=await post('/run_landmarks',{image:img.src,landmarks:b64,
+  mode:document.getElementById('lmmode').value,
+  tracks:tracks.filter(t=>t.length>1), brush:bc.toDataURL()});
   document.getElementById('out').src=r.video+'?t='+Date.now(); log(''); }
  catch(e){log(e.message)} };
 </script></body></html>"""
@@ -248,6 +269,54 @@ class TrajUIBackend:
         os.unlink(path)
         return {"video": "/video"}
 
+    def run_landmarks(self, req):
+        """Landmark-driven workloads through the CLI runners (hybrid dual
+        adapter or keypoint windowed long video)."""
+        import tempfile, os
+        mode = req.get("mode", "hybrid")
+        if mode not in ("hybrid", "keypoint"):
+            raise ValueError("mode must be 'hybrid' or 'keypoint'")
+        if not req.get("landmarks"):
+            raise ValueError("upload a landmarks .npy file")
+
+        with tempfile.TemporaryDirectory() as td:
+            img_path = os.path.join(td, "image.png")
+            from PIL import Image
+            Image.fromarray(_data_url_to_array(req["image"])).save(img_path)
+            lm_path = os.path.join(td, "landmarks.npy")
+            open(lm_path, "wb").write(base64.b64decode(req["landmarks"]))
+            out_path = os.path.join(td, "out.mp4")
+
+            argv = ["--image", img_path, "--landmarks", lm_path,
+                    "--output", out_path,
+                    "--target_size", str(self.args.target_size),
+                    "--num_inference_steps",
+                    str(self.args.num_inference_steps),
+                    "--seed", str(self.args.seed)]
+            if self.args.tiny:
+                argv.append("--tiny")
+            if self.args.bf16:
+                argv.append("--bf16")
+            if req.get("tracks"):
+                tr_path = os.path.join(td, "tracks.json")
+                json.dump({"tracks": req["tracks"]}, open(tr_path, "w"))
+                argv += ["--tracks", tr_path]
+            if mode == "hybrid" and req.get("brush"):
+                b = _data_url_to_array(req["brush"]).max(axis=-1)
+                if b.max() > 0:
+                    mask_path = os.path.join(td, "mask.png")
+                    Image.fromarray(b.astype(np.uint8)).save(mask_path)
+                    argv += ["--face_mask", mask_path]
+
+            with self._lock:
+                if mode == "hybrid":
+                    from mofa_tpu.apps import hybrid_app as app
+                else:
+                    from mofa_tpu.apps import keypoint_app as app
+                app.run(app.build_parser().parse_args(argv))
+            self.last_video = open(out_path, "rb").read()
+        return {"video": "/video"}
+
 
 def make_handler(backend: TrajUIBackend):
     class Handler(BaseHTTPRequestHandler):
@@ -275,7 +344,9 @@ def make_handler(backend: TrajUIBackend):
                 req = json.loads(self.rfile.read(n))
                 route = {"/preprocess": backend.preprocess,
                          "/preview": backend.preview,
-                         "/run": backend.run}.get(self.path)
+                         "/run": backend.run,
+                         "/run_landmarks": backend.run_landmarks}.get(
+                    self.path)
                 if route is None:
                     self._send(404, b"not found", "text/plain")
                     return

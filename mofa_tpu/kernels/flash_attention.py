@@ -30,26 +30,32 @@ NEG_INF = -1e30
 
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                      block_k: int, l_actual: int, scale: float):
+                      block_k: int, l_actual: int, scale: float,
+                      masked: bool):
     """Grid (B*H, num_q_blocks). q_ref [BQ, D]; k_ref/v_ref [Lpad, D]
     (whole sequence for this head in VMEM); o_ref [BQ, D]; lse_ref [BQ, 1]."""
     bq, d = q_ref.shape
     lpad = k_ref.shape[0]
     num_kb = lpad // block_k
 
-    q = q_ref[:].astype(jnp.float32) * scale
+    # keep q/k/v in their storage dtype: bf16 inputs ride the MXU at full
+    # rate with fp32 accumulation (preferred_element_type); casting up
+    # front would force fp32 matmuls (~3x slower on v5e)
+    q = q_ref[:]
 
     def body(kb, carry):
         acc, m_prev, s_prev = carry
-        k = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        logits = jax.lax.dot_general(
+        k = k_ref[pl.ds(kb * block_k, block_k), :]
+        v = v_ref[pl.ds(kb * block_k, block_k), :]
+        logits = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [BQ, BK]
-        # mask padded keys (only the tail block can be partial)
-        key_idx = kb * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1)
-        logits = jnp.where(key_idx < l_actual, logits, NEG_INF)
+        if masked:  # only the tail block can be partial; elided when
+            # l_actual % block_k == 0 (saves a [BQ, BK] VPU op per block
+            # in this VPU-bound kernel)
+            key_idx = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            logits = jnp.where(key_idx < l_actual, logits, NEG_INF)
 
         m_cur = jnp.max(logits, axis=-1, keepdims=True)   # [BQ, 1]
         m_new = jnp.maximum(m_prev, m_cur)
@@ -57,7 +63,7 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         p = jnp.exp(logits - m_new)                       # [BQ, BK]
         s_new = s_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, s_new
 
@@ -87,6 +93,13 @@ def _flash_fwd(q, k, v, block_q: int, block_k: int):
     lk = k.shape[1]
     scale = d ** -0.5
     lq_pad = pl.cdiv(l, block_q) * block_q
+    if lk % block_k:
+        # prefer a smaller block that divides L exactly: the kernel then
+        # skips the per-block padded-key mask (VPU-bound kernel)
+        for cand in (768, 512, 384, 256):
+            if cand < block_k and lk % cand == 0:
+                block_k = cand
+                break
     lk_pad = pl.cdiv(lk, block_k) * block_k
 
     # [B, L, H, D] -> [B*H, Lpad, D]
@@ -100,7 +113,8 @@ def _flash_fwd(q, k, v, block_q: int, block_k: int):
 
     grid = (b * h, lq_pad // block_q)
     kernel = functools.partial(_flash_fwd_kernel, block_k=block_k,
-                               l_actual=lk, scale=scale)
+                               l_actual=lk, scale=scale,
+                               masked=lk != lk_pad)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,

@@ -96,3 +96,45 @@ def test_http_roundtrip(monkeypatch):
             assert e.code == 500 and "trajectory" in e.read().decode()
     finally:
         httpd.shutdown()
+
+
+def test_run_landmarks_route(monkeypatch, tmp_path):
+    import io as _io
+    from mofa_tpu.apps import hybrid_app
+
+    args = build_parser().parse_args(["--tiny"])
+    backend = TrajUIBackend(args)
+
+    seen = {}
+
+    def fake_run(parsed):
+        seen["landmarks"] = np.load(parsed.landmarks)
+        seen["tiny"] = parsed.tiny
+        seen["mask"] = parsed.face_mask
+        open(parsed.output, "wb").write(b"\x00" * 200)
+
+    monkeypatch.setattr(hybrid_app, "run", fake_run)
+
+    img = (np.random.RandomState(3).rand(32, 32, 3) * 255).astype(np.uint8)
+    lm = np.random.RandomState(4).rand(5, 68, 2).astype(np.float32)
+    buf = _io.BytesIO()
+    np.save(buf, lm)
+
+    resp = backend.run_landmarks({
+        "image": _array_to_data_url(img),
+        "landmarks": base64.b64encode(buf.getvalue()).decode(),
+        "mode": "hybrid",
+        "brush": _array_to_data_url(np.full((32, 32, 3), 255, np.uint8)),
+    })
+    assert resp["video"] == "/video"
+    assert backend.last_video and len(backend.last_video) == 200
+    np.testing.assert_array_equal(seen["landmarks"], lm)
+    assert seen["tiny"] and seen["mask"] is not None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="landmarks"):
+        backend.run_landmarks({"image": _array_to_data_url(img),
+                               "mode": "hybrid"})
+    with _pytest.raises(ValueError, match="mode"):
+        backend.run_landmarks({"image": _array_to_data_url(img),
+                               "landmarks": "aa", "mode": "bogus"})
