@@ -4,15 +4,14 @@ Replacement for Training/train_utils/unimatch/evaluate_flow.py's metric
 loop: run the JAX GMFlow teacher on image pairs and score EPE/outlier
 rates against ground-truth .flo files.
 
-Layout: --data_dir contains triples <name>_img1.png, <name>_img2.png,
-<name>_flow.flo (a dataset-agnostic contract; the reference's
-Sintel/KITTI loaders reduce to this after decoding).
+Data discovery (shared with apps/train_flow_app.py) handles this repo's
+triples contract plus the reference's FlyingChairs / Sintel / KITTI
+directory layouts — see train/flow_datasets.py.
 """
 
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 
 import numpy as np
@@ -21,6 +20,8 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser(description="MOFA-TPU flow evaluation (EPE)")
     p.add_argument("--data_dir", required=True)
+    p.add_argument("--layout", default="auto",
+                   choices=["auto", "triples", "chairs", "sintel", "kitti"])
     p.add_argument("--gmflow_ckpt", default=None)
     p.add_argument("--inference_height", type=int, default=384)
     p.add_argument("--inference_width", type=int, default=512)
@@ -31,10 +32,10 @@ def build_parser():
 def run(args):
     import jax
     import jax.numpy as jnp
-    from PIL import Image
     from mofa_tpu.models.gmflow.model import GMFlow, GMFlowConfig
-    from mofa_tpu.ops.flow_viz import read_flo
     from mofa_tpu.ops.resize import resize_nhwc
+    from mofa_tpu.train.flow_datasets import (discover_flow_samples,
+                                              load_sample)
     from mofa_tpu.train.sampler import flow_epe
     from mofa_tpu.utils.logging import get_logger
 
@@ -56,27 +57,24 @@ def run(args):
 
     fwd = jax.jit(lambda p, a, b: model.apply(p, a, b))
     totals = {"epe": [], "1px": [], "3px": [], "5px": []}
-    pairs = sorted(glob.glob(os.path.join(args.data_dir, "*_flow.flo")))
-    assert pairs, f"no *_flow.flo in {args.data_dir}"
-    for flo in pairs:
-        stem = flo[: -len("_flow.flo")]
-        img1 = np.asarray(Image.open(stem + "_img1.png").convert("RGB"),
-                          np.float32)
-        img2 = np.asarray(Image.open(stem + "_img2.png").convert("RGB"),
-                          np.float32)
-        gt = read_flo(flo)
+    samples = [s for s in discover_flow_samples(args.data_dir, args.layout)
+               if s.flow_path is not None]
+    assert samples, f"no ground-truth flow samples in {args.data_dir}"
+    for sample in samples:
+        img1, img2, gt, valid = load_sample(sample)
         h, w = img1.shape[:2]
         a = resize_nhwc(jnp.asarray(img1)[None], (ih, iw), "bilinear", True)
         b = resize_nhwc(jnp.asarray(img2)[None], (ih, iw), "bilinear", True)
         flow = fwd(params, a, b)
         flow = resize_nhwc(flow, (h, w), "bilinear", True)
         flow = flow * jnp.asarray([w / iw, h / ih], flow.dtype)
-        m = flow_epe(np.asarray(flow)[0], gt)
+        m = flow_epe(np.asarray(flow)[0], gt, valid)
         for k in totals:
             totals[k].append(m[k])
-        logger.info(f"{os.path.basename(stem)}: epe {m['epe']:.3f}")
+        logger.info(
+            f"{os.path.basename(sample.img1_path)}: epe {m['epe']:.3f}")
     means = {k: float(np.mean(v)) for k, v in totals.items()}
-    print({"num_pairs": len(pairs), **means})
+    print({"num_pairs": len(samples), **means})
     return means
 
 

@@ -479,8 +479,13 @@ class GMFlow(nn.Module):
     cfg: GMFlowConfig = GMFlowConfig()
 
     @nn.compact
-    def __call__(self, img0, img1):
+    def __call__(self, img0, img1, return_preds: bool = False):
+        """With return_preds (training mode, unimatch.py:226-358) also
+        returns the intermediate full-resolution predictions consumed by
+        the sequence loss: a bilinear upsample after each scale's
+        propagation and a mask-upsample after every refinement step."""
         cfg = self.cfg
+        preds = []
         c = cfg.feature_channels
         mean = jnp.asarray(IMAGENET_MEAN, img0.dtype)
         std = jnp.asarray(IMAGENET_STD, img0.dtype)
@@ -528,6 +533,17 @@ class GMFlow(nn.Module):
             flow = flow_prop(f0, jax.lax.stop_gradient(flow),
                              cfg.prop_radius[scale_idx])
 
+            if return_preds:
+                # bilinear upsample to image res (unimatch.py:230-232 /
+                # :271-274): interpolate(align_corners=True) * factor
+                from mofa_tpu.ops.resize import resize_nhwc
+                factor = cfg.upsample_factor * (
+                    2 ** (cfg.num_scales - 1 - scale_idx))
+                hh, ww = flow.shape[1:3]
+                preds.append(resize_nhwc(flow, (hh * factor, ww * factor),
+                                         "bilinear", align_corners=True)
+                             * factor)
+
             if scale_idx == cfg.num_scales - 1:
                 # regression refinement (unimatch.py:276-357)
                 proj = Conv(256, 1, padding=0, name="refine_proj")(f0)
@@ -546,9 +562,12 @@ class GMFlow(nn.Module):
                     # only `flow` carries across iterations.
                     _, up_mask, delta = update(net0, inp, corr, flow)
                     flow = flow + delta
+                    if return_preds:  # unimatch.py:355-358
+                        preds.append(upsample_flow_with_mask(
+                            flow, up_mask, cfg.upsample_factor))
                 flow_up = upsample_flow_with_mask(flow, up_mask,
                                                   cfg.upsample_factor)
-        return flow_up
+        return (flow_up, preds) if return_preds else flow_up
 
 
 # ----------------------------------------------------------------- driver
