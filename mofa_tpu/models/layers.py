@@ -139,6 +139,19 @@ class Attention(nn.Module):
     def __call__(self, hidden_states, encoder_hidden_states=None):
         inner = self.heads * self.dim_head
         ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        if encoder_hidden_states is not None and ctx.shape[1] == 1:
+            # Single context token (SVD cross-attends to one CLIP image
+            # embedding): softmax over one key is exactly 1, so the
+            # attention output equals V independent of Q — to_q/to_k and
+            # the QK^T/PV matmuls are dead. Apply them to one token so
+            # the param tree stays identical for weight converters; XLA
+            # dead-code-eliminates the unused results.
+            Dense(inner, use_bias=False, name="to_q")(hidden_states[:, :1])
+            Dense(inner, use_bias=False, name="to_k")(ctx)
+            v = Dense(inner, use_bias=False, name="to_v")(ctx)
+            out = Dense(hidden_states.shape[-1], name="to_out_0")(v)
+            return jnp.broadcast_to(
+                out, hidden_states.shape[:2] + (out.shape[-1],))
         q = Dense(inner, use_bias=False, name="to_q")(hidden_states)
         k = Dense(inner, use_bias=False, name="to_k")(ctx)
         v = Dense(inner, use_bias=False, name="to_v")(ctx)

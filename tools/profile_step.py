@@ -30,7 +30,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--what", nargs="+",
                     default=["unet", "unet_noattn"],
-                    choices=["unet", "cn", "unet_noattn", "cn_noattn"])
+                    choices=["unet", "cn", "unet_noattn", "cn_noattn",
+                             "unet_nospatial", "unet_notemporal"])
     args = ap.parse_args()
 
     from mofa_tpu.models.svd_unet import (SVDUNetConfig,
@@ -105,9 +106,16 @@ def main():
 
     orig = katt.dot_product_attention
     ident = lambda q, k, v: v if q.shape[1] == k.shape[1] else orig(q, k, v)
+    # temporal self-attn sequences are frame-length (short); spatial are HW
+    no_spatial = lambda q, k, v: (v if q.shape[1] == k.shape[1]
+                                  and q.shape[1] >= 64 else orig(q, k, v))
+    no_temporal = lambda q, k, v: (v if q.shape[1] == k.shape[1]
+                                   and q.shape[1] < 64 else orig(q, k, v))
+    stubs = {"_noattn": ident, "_nospatial": no_spatial,
+             "_notemporal": no_temporal}
     for what in args.what:
-        noattn = what.endswith("_noattn")
-        katt.dot_product_attention = ident if noattn else orig
+        katt.dot_product_attention = next(
+            (fn for suf, fn in stubs.items() if what.endswith(suf)), orig)
         fn, params = ((unet_fn, up) if what.startswith("unet")
                       else (cn_fn, cp))
         ms = timeit(fn, params, args.iters)
