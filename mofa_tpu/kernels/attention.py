@@ -17,6 +17,52 @@ _IMPL = "auto"
 # L=2304/10 heads) and is mandatory at 9216 where naive logits don't fit
 FLASH_MIN_SEQ = 2304
 
+# below this sequence length, batched attention lowers to huge numbers of
+# tiny LxL matmuls that strand the MXU — use the packed formulation
+PACK_MAX_SEQ = 32
+PACK_TARGET_ROWS = 128  # aim for one full MXU tile of packed rows
+PACK_MAX_FOLDED = 160   # L*H above this: score blowup outweighs the win
+
+
+def _packed_short_attention(q, k, v):
+    """Exact attention for short sequences via block-diagonal packing.
+
+    SVD's temporal self-attention is [B·HW, T, H, D] with T<=25: XLA
+    lowers it to B·HW·H separate TxT matmuls whose 7x7 outputs use a
+    fraction of one 128x128 MXU tile each. Instead fold heads and `nb`
+    batch elements into a single (nb·T·H)-row masked attention — one
+    well-shaped matmul per group — with an additive block-diagonal mask
+    (same batch element AND same head), which makes the row softmax
+    exactly the per-(batch, head) softmax. Reshapes only, no transposes:
+    rows are ordered (batch, t, head) straight from the [B, L, H, D]
+    layout.
+    """
+    B, L, H, D = q.shape
+    nb = max(1, PACK_TARGET_ROWS // (L * H))
+    pad = (-B) % nb
+    if pad:
+        zpad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        q, k, v = zpad(q), zpad(k), zpad(v)
+    g = (B + pad) // nb
+    rows = nb * L * H
+    qp = q.reshape(g, rows, D)
+    kp = k.reshape(g, rows, D)
+    vp = v.reshape(g, rows, D)
+
+    r = jnp.arange(rows)
+    same = ((r[:, None] // (L * H)) == (r[None, :] // (L * H))) \
+        & ((r[:, None] % H) == (r[None, :] % H))
+    bias = jnp.where(same, 0.0, -jnp.inf).astype(jnp.float32)
+
+    scale = D ** -0.5
+    logits = jnp.einsum("gik,gjk->gij", qp, kp,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits + bias, axis=-1).astype(q.dtype)
+    out = jnp.einsum("gij,gjk->gik", probs, vp)
+    out = out.reshape(g * nb, L, H, D)
+    return out[:B] if pad else out
+
 
 def set_attention_impl(name: str):
     global _IMPL
@@ -28,6 +74,10 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
     """[B, L, H, D] q/k/v -> [B, L, H, D]; softmax in fp32."""
     impl = _IMPL
     if impl == "auto":
+        if (q.shape[1] == k.shape[1] and q.shape[1] <= PACK_MAX_SEQ
+                and q.shape[1] * q.shape[2] <= PACK_MAX_FOLDED
+                and q.shape[0] > 1):
+            return _packed_short_attention(q, k, v)
         big = q.shape[1] * k.shape[1] >= FLASH_MIN_SEQ ** 2
         impl = "flash" if big else "xla"
     if impl == "flash":

@@ -44,3 +44,24 @@ def test_vjp_matches_naive():
     for got, want in zip(vjp_flash(g), vjp_naive(g)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("shape", [(12, 7, 5, 64),   # SVD temporal, packs 3
+                                   (7, 7, 5, 8),     # padding (7 % 3 != 0)
+                                   (6, 25, 5, 16),   # 25-frame clip, nb=1
+                                   (5, 3, 2, 4)])
+def test_packed_short_attention_matches_naive(shape):
+    from mofa_tpu.kernels.attention import (_packed_short_attention,
+                                            dot_product_attention)
+    b, l, h, d = shape
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(kq, (b, l, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, l, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, l, h, d), jnp.float32)
+    np.testing.assert_allclose(np.asarray(_packed_short_attention(q, k, v)),
+                               np.asarray(naive(q, k, v)),
+                               atol=2e-5, rtol=2e-5)
+    # the auto dispatcher routes short self-attention to the packed path
+    np.testing.assert_allclose(np.asarray(dot_product_attention(q, k, v)),
+                               np.asarray(naive(q, k, v)),
+                               atol=2e-5, rtol=2e-5)
