@@ -25,7 +25,9 @@ import jax.numpy as jnp
 
 def parse_xplane(logdir: str, top: int = 40):
     """Sum device-plane event durations by HLO op name."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    import re
 
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)
@@ -38,12 +40,17 @@ def parse_xplane(logdir: str, top: int = 40):
         with open(path, "rb") as f:
             xs.ParseFromString(f.read())
         for plane in xs.planes:
-            if "TPU" not in plane.name and "/device:" not in plane.name:
+            if "TPU" not in plane.name:
                 continue
             ev_names = plane.event_metadata
             for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
                 for ev in line.events:
-                    name = ev_names[ev.metadata_id].name
+                    hlo = ev_names[ev.metadata_id].name
+                    # "%convolution_add_fusion.30 = ..." -> op category
+                    m = re.match(r"%([a-zA-Z_-]+)", hlo)
+                    name = m.group(1).rstrip(".") if m else hlo[:40]
                     dur = ev.duration_ps / 1e9  # ps -> ms
                     totals[name] += dur
                     counts[name] += 1
