@@ -134,8 +134,12 @@ class LayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
         dt = x.dtype
         xf = x.astype(jnp.float32)
+        # E[x^2] - mean^2 so both reduces read x independently and XLA
+        # fuses them into a single pass (jnp.var needs the mean first,
+        # serializing two passes over the activation)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.var(xf, axis=-1, keepdims=True)
+        meansq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         return (xf * scale + bias).astype(dt)
 

@@ -122,12 +122,19 @@ def decode_latents(bundle: ModelBundle, latents: jnp.ndarray,
 
 
 def decode_latents_jit(bundle: ModelBundle, latents: jnp.ndarray,
-                       decode_chunk_size: int = 8) -> jnp.ndarray:
+                       decode_chunk_size: int = 8, mesh=None) -> jnp.ndarray:
     """decode_latents as its OWN jit program (one per chunk shape).
 
     Keeping the VAE decode out of the denoise program lowers the combined
     HBM peak — at 25-frame 512^2 bf16 the fused program exceeds a 16 GB
-    chip by ~0.8 GB while the split programs fit."""
+    chip by ~0.8 GB while the split programs fit.
+
+    With a mesh, the full-size chunks are decoded in one vmapped program
+    whose chunk axis is sharded over the "frames" mesh axis: each device
+    decodes whole chunks, so the chunk-local temporal-conv semantics of
+    pipeline.py:194-220 stay exact and no collective is needed inside the
+    decoder. A ragged remainder chunk is decoded separately (padding it
+    would change its temporal-conv neighborhood)."""
     vae = bundle.vae
 
     @jax.jit
@@ -139,8 +146,26 @@ def decode_latents_jit(bundle: ModelBundle, latents: jnp.ndarray,
 
     b, t = latents.shape[:2]
     flat = latents.reshape((b * t,) + latents.shape[2:])
-    frames = [dec(bundle.vae_params, flat[i:i + decode_chunk_size])
-              for i in range(0, b * t, decode_chunk_size)]
+    n_full = (b * t) // decode_chunk_size
+    if mesh is not None and n_full > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mofa_tpu.core.mesh import AXES
+
+        @jax.jit
+        def dec_chunks(vp, x):
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(AXES.frames)))
+            return jax.vmap(lambda c: dec(vp, c))(x)
+
+        main = flat[:n_full * decode_chunk_size].reshape(
+            (n_full, decode_chunk_size) + flat.shape[1:])
+        out_main = dec_chunks(bundle.vae_params, main)
+        frames = [out_main.reshape((-1,) + out_main.shape[2:])]
+        start = n_full * decode_chunk_size
+    else:
+        frames, start = [], 0
+    frames += [dec(bundle.vae_params, flat[i:i + decode_chunk_size])
+               for i in range(start, b * t, decode_chunk_size)]
     out = jnp.concatenate(frames, axis=0)
     return out.reshape((b, t) + out.shape[1:])
 

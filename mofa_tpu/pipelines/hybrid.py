@@ -110,7 +110,8 @@ class HybridPipeline:
             return_latent=True)
         if output_type == "latent":
             return out, controlnet_flow
-        frames = decode_latents_jit(self.bundle, out, decode_chunk_size)
+        frames = decode_latents_jit(self.bundle, out, decode_chunk_size,
+                                    mesh=self.mesh)
         return postprocess_frames(frames), controlnet_flow
 
     @functools.partial(jax.jit, static_argnames=(

@@ -114,7 +114,7 @@ class TrajPipeline:
             return out_latents, controlnet_flow
         # VAE decode runs as its own jit program (HBM peak, see common.py)
         frames = decode_latents_jit(self.bundle, out_latents,
-                                    decode_chunk_size)
+                                    decode_chunk_size, mesh=self.mesh)
         return postprocess_frames(frames), controlnet_flow
 
     @functools.partial(jax.jit, static_argnames=("self", "num_steps",

@@ -47,7 +47,9 @@ def test_frame_parallel_unet_matches_single_device():
         compiled = lowered.compile()
         got = np.asarray(compiled(bundle.unet_params, sample))
 
-    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+    # sharded GSPMD reductions reassociate the norm-stat partial sums
+    # (E[x^2]-mean^2 GroupNorm), so allow a slightly wider fp32 drift
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
     # the compiled module must contain cross-device collectives (the
     # temporal-attention frames<->tokens exchange)
@@ -55,3 +57,21 @@ def test_frame_parallel_unet_matches_single_device():
     assert "num_partitions=8" in hlo
     assert ("all-to-all" in hlo) or ("all-gather" in hlo) or \
         ("collective-permute" in hlo), "no collectives in frame-parallel HLO"
+
+
+def test_sharded_decode_matches_single_device():
+    """Mesh-sharded chunked VAE decode == sequential chunked decode
+    (whole chunks per device keep temporal-conv semantics exact)."""
+    from mofa_tpu.pipelines.common import decode_latents_jit
+
+    bundle = ModelBundle.init_random(
+        jax.random.PRNGKey(1), MICRO_UNET_CONFIG, TINY_VAE_CONFIG,
+        TINY_CLIP_CONFIG, image_size=(H, W), num_frames=T)
+    rng = np.random.RandomState(1)
+    # 7 frames, chunk 2 -> 3 full chunks sharded + 1 ragged remainder
+    latents = jnp.asarray(
+        rng.randn(1, 7, H // 8, W // 8, 4).astype(np.float32))
+    want = np.asarray(decode_latents_jit(bundle, latents, 2))
+    mesh = make_mesh(data=1, frames=8)
+    got = np.asarray(decode_latents_jit(bundle, latents, 2, mesh=mesh))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
