@@ -129,3 +129,27 @@ def test_cmp_train_step_runs():
         lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
         params, new_params)
     assert any(jax.tree_util.tree_leaves(changed))
+
+
+def test_train_cmp_cli(tmp_path):
+    """Drive apps/train_cmp_app end-to-end on synthetic (image, flow)."""
+    from PIL import Image
+    from mofa_tpu.apps.train_cmp_app import main
+    from mofa_tpu.ops.flow_viz import write_flo
+
+    rng = np.random.RandomState(5)
+    data = tmp_path / "data"
+    data.mkdir()
+    for name in ("a", "b"):
+        for tag in ("img1", "img2"):
+            Image.fromarray(
+                rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+                data / f"{name}_{tag}.png")
+        write_flo(rng.randn(64, 64, 2).astype(np.float32) * 4,
+                  str(data / f"{name}_flow.flo"))
+
+    out = tmp_path / "out"
+    main(["--data_dir", str(data), "--output_dir", str(out), "--tiny",
+          "--num_steps", "2", "--batch_size", "2", "--crop_size", "64",
+          "--save_every", "2", "--log_every", "1"])
+    assert len(list(out.glob("cmp_*.npz"))) == 1
