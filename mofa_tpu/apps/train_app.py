@@ -126,14 +126,22 @@ def run(args):
                         memory_lean=args.use_8bit_adam)
     state = TrainState.create(bundle.controlnet_params, tx, ema=args.use_ema)
     accum = args.gradient_accumulation_steps
+    # donate the state: params/opt-state update in place, halving their
+    # HBM footprint across the step boundary
     if accum > 1:
         step_fn = jax.jit(make_grad_accum_train_step(
             bundle, tx, accum, cond_dropout_prob=args.conditioning_dropout_prob,
-            ldmk=False, mesh=mesh))
+            ldmk=False, mesh=mesh), donate_argnums=(0,))
     else:
         step_fn = jax.jit(make_train_step(
             bundle, tx, cond_dropout_prob=args.conditioning_dropout_prob,
-            ldmk=False, mesh=mesh, remat=args.gradient_checkpointing))
+            ldmk=False, mesh=mesh, remat=args.gradient_checkpointing),
+            donate_argnums=(0,))
+
+    # frozen UNet/VAE/CLIP weights ride as jit ARGUMENTS — closing over
+    # them would bake GBs of constants into the lowered train program
+    from mofa_tpu.train.stage import frozen_params
+    frozen_tree = frozen_params(bundle)
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
                              max_to_keep=args.checkpoints_total_limit,
@@ -164,7 +172,7 @@ def run(args):
             batch = {k: v.reshape((accum, args.batch_size) + v.shape[1:])
                      for k, v in batch.items()}
         key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch, sub)
+        state, metrics = step_fn(state, batch, sub, frozen_tree)
 
         if (step_no + 1) % args.log_every == 0:
             dt = (time.time() - t_last) / args.log_every

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mofa_tpu.models.layers import Conv
-from mofa_tpu.models.svd_unet import SVDUNetConfig, embed_timestep_and_ids
+from mofa_tpu.models.svd_unet import (SVDUNetConfig,
+                                      embed_timestep_and_ids, maybe_remat)
 from mofa_tpu.models.unet_blocks import (
     DownBlockSpatioTemporal, CrossAttnDownBlockSpatioTemporal,
     UNetMidBlockSpatioTemporal,
@@ -54,6 +55,7 @@ class ControlNetTrunk(nn.Module):
     """
 
     cfg: SVDUNetConfig = SVDUNetConfig()
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, sample, timestep, encoder_hidden_states, added_time_ids,
@@ -96,13 +98,15 @@ class ControlNetTrunk(nn.Module):
             out_ch = cfg.block_out_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
             if bt == "CrossAttnDownBlockSpatioTemporal":
-                x, res = CrossAttnDownBlockSpatioTemporal(
+                x, res = maybe_remat(CrossAttnDownBlockSpatioTemporal,
+                                     self.remat_blocks)(
                     out_ch, cfg.num_attention_heads[i], cfg.layers_per_block,
                     cfg.transformer_layers_per_block, cfg.cross_attention_dim,
                     add_downsample=not is_final, name=f"down_blocks_{i}",
                 )(x, emb, ehs, image_only_indicator)
             else:
-                x, res = DownBlockSpatioTemporal(
+                x, res = maybe_remat(DownBlockSpatioTemporal,
+                                     self.remat_blocks)(
                     out_ch, cfg.layers_per_block, add_downsample=not is_final,
                     name=f"down_blocks_{i}")(x, emb, image_only_indicator)
             if inject_features is not None:
@@ -114,7 +118,7 @@ class ControlNetTrunk(nn.Module):
             # reference re-adds the last-scale feature once more before mid
             x = x + inject_features[-1].astype(x.dtype)
 
-        x = UNetMidBlockSpatioTemporal(
+        x = maybe_remat(UNetMidBlockSpatioTemporal, self.remat_blocks)(
             cfg.block_out_channels[-1], cfg.num_attention_heads[-1],
             cfg.transformer_layers_per_block, cfg.cross_attention_dim,
             name="mid_block")(x, emb, ehs, image_only_indicator)

@@ -67,13 +67,15 @@ class FlowControlNet(nn.Module):
     cfg: SVDUNetConfig = SVDUNetConfig()
     conditioning_embedding_out_channels: tuple = (16, 32, 96, 256)
     splat_backend: str = "xla"
+    remat_blocks: bool = False
 
     def setup(self):
         self.controlnet_cond_embedding = ControlNetConditioningEmbeddingSVD(
             self.cfg.block_out_channels[0], self.conditioning_embedding_out_channels)
         self.flow_encoder = FirstFrameEncoder(
             (self.cfg.block_out_channels[0],) + tuple(self.cfg.block_out_channels[1:3]))
-        self.trunk = ControlNetTrunk(self.cfg)
+        self.trunk = ControlNetTrunk(self.cfg,
+                                     remat_blocks=self.remat_blocks)
 
     def encode_features(self, controlnet_cond, controlnet_flow):
         """Step-independent warped feature stack.
@@ -116,6 +118,7 @@ class LdmkFlowControlNet(nn.Module):
     cfg: SVDUNetConfig = SVDUNetConfig()
     conditioning_embedding_out_channels: tuple = (16, 32, 96, 256)
     splat_backend: str = "xla"
+    remat_blocks: bool = False
 
     def setup(self):
         c0 = self.cfg.block_out_channels[0]
@@ -131,7 +134,8 @@ class LdmkFlowControlNet(nn.Module):
                            for s in (8, 16, 32, 64)}
         self.zero_outs = {str(s): Conv(chans[s], 1, zero_init=True, name=f"zero_outs_{s}")
                           for s in (8, 16, 32, 64)}
-        self.trunk = ControlNetTrunk(self.cfg)
+        self.trunk = ControlNetTrunk(self.cfg,
+                                     remat_blocks=self.remat_blocks)
 
     def encode_features(self, controlnet_cond, controlnet_flow, landmarks):
         """controlnet_cond [N, H, W, 3]; controlnet_flow [N, T-1, H, W, 2];

@@ -110,9 +110,19 @@ def apply_residuals_with_quirk(down_block_res_samples: tuple, residuals, upto: i
     return tuple(new)
 
 
+def maybe_remat(cls, enable: bool):
+    """Block-level gradient checkpointing: nn.remat keeps the param tree
+    identical, so converted checkpoints load unchanged. Finer-grained
+    than one jax.checkpoint around the whole model, whose backward must
+    re-materialize every interior activation at once (OOMs at the
+    reference train config on a 16 GB chip)."""
+    return nn.remat(cls) if enable else cls
+
+
 class UNetSpatioTemporalConditionModel(nn.Module):
     cfg: SVDUNetConfig = SVDUNetConfig()
     residual_readd_quirk: bool = True
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, sample, timestep, encoder_hidden_states, added_time_ids,
@@ -145,13 +155,15 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             out_ch = cfg.block_out_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
             if bt == "CrossAttnDownBlockSpatioTemporal":
-                x, res = CrossAttnDownBlockSpatioTemporal(
+                x, res = maybe_remat(CrossAttnDownBlockSpatioTemporal,
+                                     self.remat_blocks)(
                     out_ch, cfg.num_attention_heads[i], cfg.layers_per_block,
                     cfg.transformer_layers_per_block, cfg.cross_attention_dim,
                     add_downsample=not is_final, name=f"down_blocks_{i}",
                 )(x, emb, ehs, image_only_indicator)
             else:
-                x, res = DownBlockSpatioTemporal(
+                x, res = maybe_remat(DownBlockSpatioTemporal,
+                                     self.remat_blocks)(
                     out_ch, cfg.layers_per_block, add_downsample=not is_final,
                     name=f"down_blocks_{i}")(x, emb, image_only_indicator)
             down_block_res_samples += res
@@ -165,7 +177,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 s + r.astype(s.dtype)
                 for s, r in zip(down_block_res_samples, residuals))
 
-        x = UNetMidBlockSpatioTemporal(
+        x = maybe_remat(UNetMidBlockSpatioTemporal, self.remat_blocks)(
             cfg.block_out_channels[-1], cfg.num_attention_heads[-1],
             cfg.transformer_layers_per_block, cfg.cross_attention_dim,
             name="mid_block")(x, emb, ehs, image_only_indicator)
@@ -182,13 +194,14 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             is_final = i == n_up - 1
             heads_rev = list(reversed(cfg.num_attention_heads))
             if bt == "CrossAttnUpBlockSpatioTemporal":
-                x = CrossAttnUpBlockSpatioTemporal(
+                x = maybe_remat(CrossAttnUpBlockSpatioTemporal,
+                                self.remat_blocks)(
                     out_ch, heads_rev[i], num_layers,
                     cfg.transformer_layers_per_block, cfg.cross_attention_dim,
                     add_upsample=not is_final, name=f"up_blocks_{i}",
                 )(x, res, emb, ehs, image_only_indicator)
             else:
-                x = UpBlockSpatioTemporal(
+                x = maybe_remat(UpBlockSpatioTemporal, self.remat_blocks)(
                     out_ch, num_layers, add_upsample=not is_final,
                     name=f"up_blocks_{i}")(x, res, emb, image_only_indicator)
 

@@ -52,14 +52,21 @@ def encode_clip_train(bundle: ModelBundle, pixel01_first: jnp.ndarray):
 
 
 def vae_encode_video(bundle: ModelBundle, pixels_pm1: jnp.ndarray,
-                     key: jax.Array) -> jnp.ndarray:
+                     key: jax.Array, chunk: int = 8) -> jnp.ndarray:
     """[B, T, H, W, 3] in [-1,1] -> scaled sampled latents [B, T, h, w, 4]
-    (tensor_to_vae_latent, train_stage1.py:319-327)."""
+    (tensor_to_vae_latent, train_stage1.py:319-327).
+
+    Encoded in frame chunks: the full-res encoder activations of a whole
+    25-frame clip at 384^2 alone exceed a 16 GB chip; sequential chunks
+    bound the peak (the per-frame conv encoder makes this exact)."""
     b, t = pixels_pm1.shape[:2]
     flat = pixels_pm1.reshape((b * t,) + pixels_pm1.shape[2:])
-    mean, logvar = bundle.vae.apply(
-        bundle.vae_params, flat,
+    moments = [bundle.vae.apply(
+        bundle.vae_params, flat[i:i + chunk],
         method=AutoencoderKLTemporalDecoder.encode_moments)
+        for i in range(0, b * t, chunk)]
+    mean = jnp.concatenate([m[0] for m in moments], axis=0)
+    logvar = jnp.concatenate([m[1] for m in moments], axis=0)
     z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
         key, mean.shape, mean.dtype)
     z = z.reshape((b, t) + z.shape[1:])
@@ -111,20 +118,24 @@ def edm_loss(cn_params, bundle: ModelBundle, batch: dict, key: jax.Array,
     if ldmk:
         cn_args["landmarks"] = batch["landmarks"]
 
+    # gradient checkpointing (the reference's --gradient_checkpointing,
+    # train_stage1.sh:18): BLOCK-level nn.remat inside the models — one
+    # jax.checkpoint around the whole forward would re-materialize every
+    # interior activation at once in backward and OOM at the reference
+    # train config on a 16 GB chip
+    unet_mod = bundle.unet.clone(remat_blocks=True) if remat else bundle.unet
+    cn_mod = (bundle.controlnet.clone(remat_blocks=True) if remat
+              else bundle.controlnet)
+
     def cn_fwd(p, x):
-        return bundle.controlnet.apply(p, x, ts, ehs, added_time_ids, **cn_args)
+        return cn_mod.apply(p, x, ts, ehs, added_time_ids, **cn_args)
 
     def unet_fwd(x, down_res, mid_res):
-        return bundle.unet.apply(
+        return unet_mod.apply(
             bundle.unet_params, x, ts, ehs, added_time_ids,
             down_block_additional_residuals=down_res,
             mid_block_additional_residual=mid_res)
 
-    if remat:
-        # gradient checkpointing (the reference's --gradient_checkpointing,
-        # train_stage1.sh:18): trade recompute for activation memory
-        cn_fwd = jax.checkpoint(cn_fwd)
-        unet_fwd = jax.checkpoint(unet_fwd)
     down_res, mid_res = cn_fwd(cn_params, inp)
     pred = unet_fwd(inp, down_res, mid_res)
 
@@ -136,16 +147,38 @@ def edm_loss(cn_params, bundle: ModelBundle, batch: dict, key: jax.Array,
     return loss, {"loss": loss, "sigma_mean": jnp.mean(sigmas)}
 
 
+def frozen_params(bundle: ModelBundle) -> dict:
+    """The non-trainable param trees, to be passed as jit ARGUMENTS to a
+    train step (a closure would bake GBs of frozen UNet/VAE/CLIP weights
+    into the lowered program as constants — doubling HBM and exploding
+    lowering time at full scale)."""
+    return {"unet": bundle.unet_params, "vae": bundle.vae_params,
+            "clip": bundle.clip_params}
+
+
+def _with_frozen(bundle: ModelBundle, frozen) -> ModelBundle:
+    if frozen is None:
+        return bundle
+    import dataclasses
+    return dataclasses.replace(bundle, unet_params=frozen["unet"],
+                               vae_params=frozen["vae"],
+                               clip_params=frozen["clip"])
+
+
 def make_train_step(bundle: ModelBundle, tx: optax.GradientTransformation,
                     cond_dropout_prob: Optional[float] = 0.1,
                     ldmk: bool = False, ema_decay: float = 0.9999,
                     mesh=None, remat: bool = False):
-    """Returns jittable (state, batch, key) -> (state, metrics)."""
+    """Returns jittable (state, batch, key[, frozen]) -> (state, metrics).
 
-    def train_step(state, batch, key):
+    Pass `frozen=frozen_params(bundle)` at full scale so the frozen
+    weights ride as program arguments; omitted, they are captured as
+    compile-time constants (fine for tiny test configs only)."""
+
+    def train_step(state, batch, key, frozen=None):
         grad_fn = jax.value_and_grad(edm_loss, has_aux=True)
         (loss, metrics), grads = grad_fn(
-            state.params, bundle, batch, key,
+            state.params, _with_frozen(bundle, frozen), batch, key,
             cond_dropout_prob=cond_dropout_prob, ldmk=ldmk, mesh=mesh,
             remat=remat)
         new_state = state.apply_gradients(grads, tx, ema_decay=ema_decay)
@@ -164,15 +197,16 @@ def make_grad_accum_train_step(bundle: ModelBundle,
     """Gradient accumulation over a leading microbatch axis via lax.scan
     (replaces accelerator.accumulate, train_stage1.py:1040)."""
 
-    def train_step(state, batches, key):
+    def train_step(state, batches, key, frozen=None):
         """batches: pytree with leading axis [accum_steps, ...]."""
         keys = jax.random.split(key, accum_steps)
+        bnd = _with_frozen(bundle, frozen)
 
         def micro(carry, inp):
             acc = carry
             mb, k = inp
             (_, metrics), grads = jax.value_and_grad(edm_loss, has_aux=True)(
-                state.params, bundle, mb, k,
+                state.params, bnd, mb, k,
                 cond_dropout_prob=cond_dropout_prob, ldmk=ldmk, mesh=mesh)
             acc = jax.tree_util.tree_map(jnp.add, acc, grads)
             return acc, metrics
