@@ -60,19 +60,20 @@ def main():
     cond = jnp.zeros((1, h, w, 3), dtype)
     flow = jnp.zeros((1, t - 1, h, w, 2), dtype)
 
+    # TPU kernel timing is data-independent: materialize the param trees
+    # from eval_shape instead of compiling the real initializers (the init
+    # programs cost ~4 min over the axon tunnel)
     t0 = time.perf_counter()
-    init_jit = jax.jit(unet.init)
-    unet_params = init_jit(next(ks), sample, 1.0, ehs, ids)
-    jax.block_until_ready(unet_params)
-    _log(f"unet init {time.perf_counter()-t0:.1f}s")
-    t0 = time.perf_counter()
-    cn_params = jax.jit(cn.init)(next(ks), sample, 1.0, ehs, ids, cond, flow)
-    jax.block_until_ready(cn_params)
-    _log(f"cn init {time.perf_counter()-t0:.1f}s")
-    cast = lambda tree: jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        tree)
-    unet_params, cn_params = cast(unet_params), cast(cn_params)
+    u_shapes = jax.eval_shape(unet.init, next(ks), sample, 1.0, ehs, ids)
+    c_shapes = jax.eval_shape(cn.init, next(ks), sample, 1.0, ehs, ids,
+                              cond, flow)
+    fill = lambda tree: jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01,
+                           dtype if jnp.issubdtype(s.dtype, jnp.floating)
+                           else s.dtype), tree)
+    unet_params, cn_params = fill(u_shapes), fill(c_shapes)
+    jax.block_until_ready((unet_params, cn_params))
+    _log(f"param materialize {time.perf_counter()-t0:.1f}s")
 
     sched = make_euler_schedule(steps)
     sigmas = jnp.asarray(sched.sigmas, jnp.float32)

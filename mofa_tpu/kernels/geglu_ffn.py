@@ -1,0 +1,229 @@
+"""Fused GEGLU feed-forward Pallas kernel (proj -> geglu -> proj).
+
+The SVD transformer blocks' FeedForward (layers.py; diffusers GEGLU,
+/root/reference/MOFA-Video-Traj/models/controlnet_sdv.py via diffusers
+attention.py FeedForward) expands C -> 8C -> gelu-gate -> 4C -> C. Run
+unfused, XLA materializes the [tokens, 8C] projection and [tokens, 4C]
+gate product in HBM — ~2 GB of traffic per FF call at the 320-channel
+bench shape ([129024, 320] tokens), ~4.3 ms measured. This kernel keeps
+both weight matrices and the whole intermediate in VMEM: HBM traffic is
+exactly read-x + write-out (~160 MB), one grid pass over token blocks.
+
+Numerics: bf16 matmuls with fp32 accumulation (preferred_element_type),
+gelu (erf form, approximate=False like diffusers GEGLU) in fp32, output
+cast to the input dtype. Backward (training) recomputes through the
+plain-jnp reference via jax.custom_vjp, so gradients match the unfused
+formulation exactly.
+
+Gate (see fused_ffn_applicable): C <= 640 so both weights fit VMEM, and
+a token count that divides the block (bench/training shapes all do).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# token-block rows per grid step: VMEM peak at C=320 is ~7 MB
+# (w0 1.6 + w2 0.8 + h fp32 2.6 + act 1.3 + x/out blocks)
+_BLOCK_ROWS = {320: 512, 640: 256}
+MAX_FUSED_DIM = 640
+MIN_FUSED_ROWS = 4096
+
+
+def fused_ffn_applicable(rows: int, dim: int, dim_out: int) -> bool:
+    """True when the fused kernel handles this FF shape well."""
+    if jax.default_backend() not in ("tpu",):
+        return False
+    if dim > MAX_FUSED_DIM or dim_out != dim or rows < MIN_FUSED_ROWS:
+        return False
+    return rows % _BLOCK_ROWS[dim] == 0
+
+
+def _ffn_ref(x, w0, b0, w2, b2):
+    """Plain-jnp reference (identical math to layers.FeedForward)."""
+    h = (x @ w0.astype(x.dtype)) + b0.astype(x.dtype)
+    a, g = jnp.split(h, 2, axis=-1)
+    act = a * jax.nn.gelu(g, approximate=False)
+    return (act @ w2.astype(x.dtype)) + b2.astype(x.dtype)
+
+
+def _ffn_kernel(x_ref, w0_ref, b0_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[:]                                           # [BR, C] bf16
+    h = jax.lax.dot_general(
+        x, w0_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [BR, 2I] fp32
+    h = h + b0_ref[:].astype(jnp.float32)
+    inner = h.shape[-1] // 2
+    a = h[:, :inner]
+    g = h[:, inner:]
+    # erf-form gelu; Mosaic lowers neither erf nor erfc, so erf is inlined
+    # as Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7 — far below the
+    # bf16 output resolution)
+    xs = g * 0.7071067811865476
+    ax = jnp.abs(xs)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = jnp.sign(xs) * (1.0 - poly * jnp.exp(-ax * ax))
+    gelu = 0.5 * g * (1.0 + erf)
+    act = (a * gelu).astype(x.dtype)
+    out = jax.lax.dot_general(
+        act, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [BR, C] fp32
+    out = out + b2_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@jax.jit
+def _ffn_fwd(x2, w0, b0, w2, b2):
+    """x2 [R, C] (R % block == 0), weights in x2.dtype. Returns [R, C]."""
+    r, c = x2.shape
+    two_i = w0.shape[1]
+    br = _BLOCK_ROWS[c]
+    out = pl.pallas_call(
+        _ffn_kernel,
+        grid=(r // br,),
+        in_specs=[
+            pl.BlockSpec((br, c), lambda i: (i, 0)),
+            pl.BlockSpec((c, two_i), lambda i: (0, 0)),
+            pl.BlockSpec((1, two_i), lambda i: (0, 0)),
+            pl.BlockSpec((two_i // 2, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r, c), x2.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(x2, w0, b0.reshape(1, -1), w2, b2.reshape(1, -1))
+    return out
+
+
+@jax.custom_vjp
+def geglu_ffn(x, w0, b0, w2, b2):
+    """Fused GEGLU FF. x [..., C]; w0 [C, 2I], b0 [2I], w2 [I, C], b2 [C]
+    (weights any float dtype — cast to x.dtype like layers.Dense)."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    dt = x.dtype
+    out = _ffn_fwd(x2, w0.astype(dt), b0.astype(dt), w2.astype(dt),
+                   b2.astype(dt))
+    return out.reshape(shape)
+
+
+def _fwd_rule(x, w0, b0, w2, b2):
+    return geglu_ffn(x, w0, b0, w2, b2), (x, w0, b0, w2, b2)
+
+
+def _bwd_rule(res, g):
+    x, w0, b0, w2, b2 = res
+    _, vjp = jax.vjp(_ffn_ref, x, w0, b0, w2, b2)
+    return vjp(g)
+
+
+geglu_ffn.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm -> GEGLU FF -> +residual, one kernel. This is the exact shape of
+# all three FF sites in the SVD transformer blocks (norm3+ff spatial/temporal,
+# norm_in+ff_in temporal) — fusing the LN and the residual add removes two
+# extra full-activation HBM round trips per site.
+# ---------------------------------------------------------------------------
+
+LN_EPS = 1e-5
+
+
+def _ln_ffn_ref(x, ls, lb, w0, b0, w2, b2):
+    """Plain-jnp reference: LayerNorm (fp32 stats, models/layers.py
+    formulation) -> FeedForward -> residual."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    meansq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    h = ((xf - mean) * jax.lax.rsqrt(var + LN_EPS) * ls + lb).astype(x.dtype)
+    return _ffn_ref(h, w0, b0, w2, b2) + x
+
+
+def _ln_ffn_kernel(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref, b2_ref,
+                   o_ref):
+    x = x_ref[:]                                           # [BR, C] bf16
+    xf = x.astype(jnp.float32)
+    c = xf.shape[-1]
+    mean = jnp.sum(xf, axis=-1, keepdims=True) / c
+    meansq = jnp.sum(xf * xf, axis=-1, keepdims=True) / c
+    var = jnp.maximum(meansq - mean * mean, 0.0)
+    ln = (xf - mean) * jax.lax.rsqrt(var + LN_EPS)
+    h_in = (ln * ls_ref[:].astype(jnp.float32)
+            + lb_ref[:].astype(jnp.float32)).astype(x.dtype)
+    h = jax.lax.dot_general(
+        h_in, w0_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h = h + b0_ref[:].astype(jnp.float32)
+    inner = h.shape[-1] // 2
+    a = h[:, :inner]
+    g = h[:, inner:]
+    xs = g * 0.7071067811865476
+    ax = jnp.abs(xs)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = jnp.sign(xs) * (1.0 - poly * jnp.exp(-ax * ax))
+    act = (a * (0.5 * g * (1.0 + erf))).astype(x.dtype)
+    out = jax.lax.dot_general(
+        act, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = out + b2_ref[:].astype(jnp.float32) + xf
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@jax.jit
+def _ln_ffn_fwd(x2, ls, lb, w0, b0, w2, b2):
+    r, c = x2.shape
+    two_i = w0.shape[1]
+    br = _BLOCK_ROWS[c]
+    out = pl.pallas_call(
+        _ln_ffn_kernel,
+        grid=(r // br,),
+        in_specs=[
+            pl.BlockSpec((br, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, two_i), lambda i: (0, 0)),
+            pl.BlockSpec((1, two_i), lambda i: (0, 0)),
+            pl.BlockSpec((two_i // 2, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((br, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r, c), x2.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(x2, ls.reshape(1, -1), lb.reshape(1, -1), w0, b0.reshape(1, -1),
+      w2, b2.reshape(1, -1))
+    return out
+
+
+@jax.custom_vjp
+def ln_geglu_ffn(x, ls, lb, w0, b0, w2, b2):
+    """Fused LayerNorm + GEGLU FF + residual. x [..., C]; ls/lb [C] fp32;
+    weights as in geglu_ffn. Returns x + FF(LN(x))."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    dt = x.dtype
+    out = _ln_ffn_fwd(x2, ls.astype(jnp.float32), lb.astype(jnp.float32),
+                      w0.astype(dt), b0.astype(dt), w2.astype(dt),
+                      b2.astype(dt))
+    return out.reshape(shape)
+
+
+def _ln_fwd_rule(x, ls, lb, w0, b0, w2, b2):
+    return ln_geglu_ffn(x, ls, lb, w0, b0, w2, b2), (x, ls, lb, w0, b0, w2, b2)
+
+
+def _ln_bwd_rule(res, g):
+    _, vjp = jax.vjp(_ln_ffn_ref, *res)
+    return vjp(g)
+
+
+ln_geglu_ffn.defvjp(_ln_fwd_rule, _ln_bwd_rule)

@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from mofa_tpu.models.layers import (
     Attention, FeedForward, GroupNorm, LayerNorm, Dense, AlphaBlender,
-    get_timestep_embedding, TimestepEmbedding,
+    get_timestep_embedding, TimestepEmbedding, ln_ff_residual,
 )
 
 
@@ -36,8 +36,7 @@ class BasicTransformerBlock(nn.Module):
             h = LayerNorm(name="norm2")(x)
             x = Attention(self.heads, self.dim_head, self.cross_attention_dim,
                           name="attn2")(h, encoder_hidden_states) + x
-        h = LayerNorm(name="norm3")(x)
-        return FeedForward(name="ff")(h) + x
+        return ln_ff_residual(self, x, "norm3", "ff")
 
 
 class TemporalBasicTransformerBlock(nn.Module):
@@ -53,10 +52,7 @@ class TemporalBasicTransformerBlock(nn.Module):
         x = x.reshape(bsz, num_frames, seq, ch).transpose(0, 2, 1, 3)
         x = x.reshape(bsz * seq, num_frames, ch)
 
-        residual = x
-        x = LayerNorm(name="norm_in")(x)
-        x = FeedForward(name="ff_in")(x)
-        x = x + residual
+        x = ln_ff_residual(self, x, "norm_in", "ff_in")
 
         h = LayerNorm(name="norm1")(x)
         x = Attention(self.heads, self.dim_head, name="attn1")(h) + x
@@ -64,8 +60,7 @@ class TemporalBasicTransformerBlock(nn.Module):
             h = LayerNorm(name="norm2")(x)
             x = Attention(self.heads, self.dim_head, self.cross_attention_dim,
                           name="attn2")(h, encoder_hidden_states) + x
-        h = LayerNorm(name="norm3")(x)
-        x = FeedForward(name="ff")(h) + x
+        x = ln_ff_residual(self, x, "norm3", "ff")
 
         x = x.reshape(bsz, seq, num_frames, ch).transpose(0, 2, 1, 3)
         return x.reshape(bf, seq, ch)

@@ -51,19 +51,22 @@ def main():
     cond = jnp.zeros((1, h, w, 3), dtype)
     flow = jnp.zeros((1, t - 1, h, w, 2), dtype)
 
-    cast = lambda tree: jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
-        else x, tree)
+    # timing is data-independent on TPU: materialize params from eval_shape
+    # (the real init programs cost minutes to compile over the axon tunnel)
+    fill = lambda tree: jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01,
+                           dtype if jnp.issubdtype(s.dtype, jnp.floating)
+                           else s.dtype), tree)
     t0 = time.perf_counter()
-    up = cast(jax.jit(unet.init)(key, sample, 1.0, ehs, ids))
+    up = fill(jax.eval_shape(unet.init, key, sample, 1.0, ehs, ids))
     jax.block_until_ready(up)
-    print(f"unet init {time.perf_counter()-t0:.0f}s", flush=True)
+    print(f"unet params {time.perf_counter()-t0:.0f}s", flush=True)
     cp = None
     if any(x.startswith("cn") for x in args.what):
         t0 = time.perf_counter()
-        cp = cast(jax.jit(cn.init)(key, sample, 1.0, ehs, ids, cond, flow))
+        cp = fill(jax.eval_shape(cn.init, key, sample, 1.0, ehs, ids, cond, flow))
         jax.block_until_ready(cp)
-        print(f"cn init {time.perf_counter()-t0:.0f}s", flush=True)
+        print(f"cn params {time.perf_counter()-t0:.0f}s", flush=True)
 
     lat2 = jnp.zeros((2, t, h // 8, w // 8, 8), dtype)
     ehs2 = jnp.zeros((2, 1, cfg.cross_attention_dim), dtype)

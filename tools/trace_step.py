@@ -93,11 +93,15 @@ def main():
     ehs = jnp.zeros((1, 1, cfg.cross_attention_dim), dtype)
     ids = jnp.zeros((1, 3), dtype)
 
-    cast = lambda tree: jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
-        else x, tree)
+    # timing is data-independent on TPU: materialize the param tree from
+    # eval_shape (no initializer compile — real init costs ~260 s over the
+    # axon tunnel)
     t0 = time.perf_counter()
-    params = cast(jax.jit(unet.init)(key, sample, 1.0, ehs, ids))
+    shapes = jax.eval_shape(unet.init, key, sample, 1.0, ehs, ids)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01,
+                           dtype if jnp.issubdtype(s.dtype, jnp.floating)
+                           else s.dtype), shapes)
     jax.block_until_ready(params)
     print(f"init {time.perf_counter() - t0:.0f}s", flush=True)
 
