@@ -29,14 +29,22 @@ DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
+
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                       block_k: int, l_actual: int, scale: float,
                       masked: bool):
     """Grid (B*H, num_q_blocks). q_ref [BQ, D]; k_ref/v_ref [Lpad, D]
-    (whole sequence for this head in VMEM); o_ref [BQ, D]; lse_ref [BQ, 1]."""
+    (whole sequence for this head in VMEM); o_ref [BQ, D]; lse_ref
+    [BQ, 1]. Softmax runs in base 2: the log2(e) factor folds into the
+    logit scale so exp2 (the VPU-native transcendental) replaces exp on
+    every [BQ, BK] tile."""
     bq, d = q_ref.shape
     lpad = k_ref.shape[0]
     num_kb = lpad // block_k
+    scale2 = scale * _LOG2E
 
     # keep q/k/v in their storage dtype: bf16 inputs ride the MXU at full
     # rate with fp32 accumulation (preferred_element_type); casting up
@@ -47,9 +55,9 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         acc, m_prev, s_prev = carry
         k = k_ref[pl.ds(kb * block_k, block_k), :]
         v = v_ref[pl.ds(kb * block_k, block_k), :]
-        logits = scale * jax.lax.dot_general(
+        logits = scale2 * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [BQ, BK]
+            preferred_element_type=jnp.float32)          # [BQ, BK], base-2
         if masked:  # only the tail block can be partial; elided when
             # l_actual % block_k == 0 (saves a [BQ, BK] VPU op per block
             # in this VPU-bound kernel)
@@ -59,8 +67,8 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
         m_cur = jnp.max(logits, axis=-1, keepdims=True)   # [BQ, 1]
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new)                       # [BQ, BK]
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(logits - m_new)                      # [BQ, BK]
         s_new = s_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -73,7 +81,8 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     acc, m, s = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, s0))
 
     o_ref[:] = (acc / s).astype(o_ref.dtype)
-    lse_ref[:] = (m + jnp.log(s)).astype(jnp.float32)
+    # natural-log lse (the backward recompute uses exp(logits - lse))
+    lse_ref[:] = ((m + jnp.log2(s)) * _LN2).astype(jnp.float32)
 
 
 def _pad_to(x, size, axis):

@@ -49,6 +49,13 @@ class GroupNorm(nn.Module):
         g = self.num_groups
         assert c % g == 0, (c, g)
         dt = x.dtype
+        scale_p = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias_p = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        # NOTE: a one-pass Pallas stats kernel (kernels/group_norm.py) was
+        # measured against this formulation on-chip: 1.53 vs 1.42 ms at
+        # [14,72,128,320] (copy floor 1.22 ms) and a 0.406 -> 0.386
+        # frames/s e2e regression from lost XLA fusion — this jnp path IS
+        # the fast one; the kernel stays as a documented experiment.
         xf = x.astype(jnp.float32)
         # Keep C in the lane dimension for the big reduces: reshaping the
         # activation to [N, HW, G, C/G] makes C/G (e.g. 10) the lane dim,
@@ -68,9 +75,7 @@ class GroupNorm(nn.Module):
         bshape = (xf.shape[0],) + (1,) * (xf.ndim - 2) + (c,)
         mean_c = jnp.repeat(mean, c // g, axis=-1).reshape(bshape)
         inv_c = jnp.repeat(inv, c // g, axis=-1).reshape(bshape)
-        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
-        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-        return ((xf - mean_c) * (inv_c * scale) + bias).astype(dt)
+        return ((xf - mean_c) * (inv_c * scale_p) + bias_p).astype(dt)
 
 
 class Conv(nn.Module):

@@ -94,6 +94,13 @@ def gn_mxu_bf16(x, g=32, eps=1e-5):
     return ((x.astype(jnp.float32) - mean_c) * inv_c).astype(dt)
 
 
+def gn_pallas(x, g=32, eps=1e-5):
+    from mofa_tpu.kernels.group_norm import fused_group_norm
+    c = x.shape[-1]
+    return fused_group_norm(x, jnp.ones((c,), jnp.float32),
+                            jnp.zeros((c,), jnp.float32), g, eps)
+
+
 def just_copy(x, g=32, eps=1e-5):
     return x * jnp.bfloat16(2.0)
 
@@ -122,7 +129,8 @@ def main():
         x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.bfloat16)
         mb = x.size * 2 / 1e6
         for name, fn in [("vpu", gn_vpu), ("mxu", gn_mxu),
-                         ("mxu_bf16", gn_mxu_bf16), ("copy", just_copy)]:
+                         ("mxu_bf16", gn_mxu_bf16), ("pallas", gn_pallas),
+                         ("copy", just_copy)]:
             ms = timeit(fn, x, args.iters)
             print(f"{shape} {name:9s} {ms:7.3f} ms "
                   f"({2 * mb / ms:.0f} GB/s eff)", flush=True)
