@@ -38,7 +38,15 @@ def _packed_short_attention(q, k, v):
     layout.
     """
     B, L, H, D = q.shape
-    nb = max(1, PACK_TARGET_ROWS // (L * H))
+    from mofa_tpu.parallel.activation import is_sharded_execution
+    if is_sharded_execution():
+        # folding mesh-sharded batch elements into pack groups would make
+        # the [B] -> [B/nb, nb*L*H] reshape unpropagatable for the SPMD
+        # partitioner (forced replication); nb=1 keeps dim 0 intact so the
+        # batch sharding flows straight through the fold of (L, H)
+        nb = 1
+    else:
+        nb = max(1, PACK_TARGET_ROWS // (L * H))
     pad = (-B) % nb
     if pad:
         zpad = lambda x: jnp.concatenate(
@@ -80,6 +88,15 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
             return _packed_short_attention(q, k, v)
         big = q.shape[1] * k.shape[1] >= FLASH_MIN_SEQ ** 2
         impl = "flash" if big else "xla"
+        if impl == "flash":
+            from mofa_tpu.parallel.activation import is_sharded_execution
+            if is_sharded_execution():
+                # the Pallas flash kernel is opaque to the SPMD
+                # partitioner (sharded operands would be all-gathered);
+                # XLA attention partitions over the sharded batch dim.
+                # (A shard_map flash path needs even batch shards —
+                # B*T/HW rarely divide the frame axis — so XLA it is.)
+                impl = "xla"
     if impl == "flash":
         from mofa_tpu.kernels.flash_attention import flash_attention
         return flash_attention(q, k, v)

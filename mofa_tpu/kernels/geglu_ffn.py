@@ -38,6 +38,11 @@ def fused_ffn_applicable(rows: int, dim: int, dim_out: int) -> bool:
     """True when the fused kernel handles this FF shape well."""
     if jax.default_backend() not in ("tpu",):
         return False
+    from mofa_tpu.parallel.activation import is_sharded_execution
+    if is_sharded_execution():
+        # pallas_call is opaque to the SPMD partitioner (would all-gather
+        # the sharded activation); the plain-jnp FF partitions cleanly
+        return False
     if dim > MAX_FUSED_DIM or dim_out != dim or rows < MIN_FUSED_ROWS:
         return False
     return rows % _BLOCK_ROWS[dim] == 0

@@ -47,10 +47,17 @@ class TemporalBasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, num_frames: int, encoder_hidden_states=None):
         # x: [B*T, L, C] -> attention over frames per spatial token
+        from mofa_tpu.parallel.activation import constrain_batch
         bf, seq, ch = x.shape
         bsz = bf // num_frames
         x = x.reshape(bsz, num_frames, seq, ch).transpose(0, 2, 1, 3)
         x = x.reshape(bsz * seq, num_frames, ch)
+        # Ulysses-style re-shard for frame-parallel inference: attention is
+        # global over frames, so the frame axis must be device-local here;
+        # constraining dim 0 (batch*spatial tokens) to the mesh makes the
+        # spatial<->temporal transition one clean all-to-all instead of
+        # SPMD-propagated frame-sharded layouts (forced full remat).
+        x = constrain_batch(x)
 
         x = ln_ff_residual(self, x, "norm_in", "ff_in")
 
@@ -63,7 +70,7 @@ class TemporalBasicTransformerBlock(nn.Module):
         x = ln_ff_residual(self, x, "norm3", "ff")
 
         x = x.reshape(bsz, seq, num_frames, ch).transpose(0, 2, 1, 3)
-        return x.reshape(bf, seq, ch)
+        return constrain_batch(x.reshape(bf, seq, ch))
 
 
 class TransformerSpatioTemporalModel(nn.Module):

@@ -26,6 +26,10 @@ _CTX: contextvars.ContextVar = contextvars.ContextVar(
     "mofa_activation_sharding", default=None)
 
 
+_SHARDED: contextvars.ContextVar = contextvars.ContextVar(
+    "mofa_sharded_execution", default=False)
+
+
 @contextlib.contextmanager
 def frame_parallel(mesh: Mesh, axis: str = AXES.frames):
     """Within this context, constrain_batch shards activation axis 0 over
@@ -37,11 +41,38 @@ def frame_parallel(mesh: Mesh, axis: str = AXES.frames):
         _CTX.reset(token)
 
 
+@contextlib.contextmanager
+def sharded_execution():
+    """Mark the enclosed trace as compiling for a >1-device mesh.
+
+    Kernel dispatch consults `is_sharded_execution()` to route around
+    Pallas kernels: a `pallas_call` is an opaque custom call to the SPMD
+    partitioner, so on a sharded operand it forces a full all-gather,
+    while the equivalent XLA ops partition cleanly. The single-chip hot
+    path (no context) is unaffected. Entered by `frame_parallel` users
+    implicitly via the activation ctx, and by the train step when its
+    mesh has more than one device."""
+    token = _SHARDED.set(True)
+    try:
+        yield
+    finally:
+        _SHARDED.reset(token)
+
+
+def is_sharded_execution() -> bool:
+    return _SHARDED.get() or _CTX.get() is not None
+
+
 def constrain_batch(x: jax.Array) -> jax.Array:
     ctx = _CTX.get()
     if ctx is None:
         return x
     mesh, axis = ctx
+    if x.shape[0] < mesh.shape[axis]:
+        # dim 0 can't fill the axis (e.g. a 1x1-spatial mid block at tiny
+        # configs): constraining would force replicate-and-pad churn;
+        # leave the layout to GSPMD propagation instead
+        return x
     spec = [None] * x.ndim
     spec[0] = axis
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))

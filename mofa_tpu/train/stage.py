@@ -165,6 +165,17 @@ def _with_frozen(bundle: ModelBundle, frozen) -> ModelBundle:
                                clip_params=frozen["clip"])
 
 
+def _maybe_sharded(mesh):
+    """sharded_execution ctx when compiling for a >1-device mesh (routes
+    kernel dispatch away from partitioner-opaque Pallas calls); nullctx
+    on a single device so the fused single-chip hot path is untouched."""
+    import contextlib
+    if mesh is not None and mesh.size > 1:
+        from mofa_tpu.parallel.activation import sharded_execution
+        return sharded_execution()
+    return contextlib.nullcontext()
+
+
 def make_train_step(bundle: ModelBundle, tx: optax.GradientTransformation,
                     cond_dropout_prob: Optional[float] = 0.1,
                     ldmk: bool = False, ema_decay: float = 0.9999,
@@ -176,14 +187,15 @@ def make_train_step(bundle: ModelBundle, tx: optax.GradientTransformation,
     compile-time constants (fine for tiny test configs only)."""
 
     def train_step(state, batch, key, frozen=None):
-        grad_fn = jax.value_and_grad(edm_loss, has_aux=True)
-        (loss, metrics), grads = grad_fn(
-            state.params, _with_frozen(bundle, frozen), batch, key,
-            cond_dropout_prob=cond_dropout_prob, ldmk=ldmk, mesh=mesh,
-            remat=remat)
-        new_state = state.apply_gradients(grads, tx, ema_decay=ema_decay)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
+        with _maybe_sharded(mesh):
+            grad_fn = jax.value_and_grad(edm_loss, has_aux=True)
+            (loss, metrics), grads = grad_fn(
+                state.params, _with_frozen(bundle, frozen), batch, key,
+                cond_dropout_prob=cond_dropout_prob, ldmk=ldmk, mesh=mesh,
+                remat=remat)
+            new_state = state.apply_gradients(grads, tx, ema_decay=ema_decay)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
 
     return train_step
 
@@ -211,10 +223,11 @@ def make_grad_accum_train_step(bundle: ModelBundle,
             acc = jax.tree_util.tree_map(jnp.add, acc, grads)
             return acc, metrics
 
-        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        grads, metrics = jax.lax.scan(micro, zero, (batches, keys))
-        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
-        new_state = state.apply_gradients(grads, tx, ema_decay=ema_decay)
-        return new_state, jax.tree_util.tree_map(jnp.mean, metrics)
+        with _maybe_sharded(mesh):
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            grads, metrics = jax.lax.scan(micro, zero, (batches, keys))
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+            new_state = state.apply_gradients(grads, tx, ema_decay=ema_decay)
+            return new_state, jax.tree_util.tree_map(jnp.mean, metrics)
 
     return train_step
