@@ -37,6 +37,9 @@ def build_parser():
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--decode_chunk_size", type=int, default=8)
+    p.add_argument("--window_batch", type=int, default=1,
+                   help="denoise this many sliding windows per UNet call "
+                        "(stacked on the batch axis; exact semantics)")
     p.add_argument("--small_programs", action="store_true",
                    help="jit per window step instead of one scan-of-scans "
                         "program (lighter compile; long videos)")
@@ -92,7 +95,8 @@ def run(args):
                      num_inference_steps=args.num_inference_steps,
                      controlnet_cond_scale=args.ctrl_scale,
                      decode_chunk_size=args.decode_chunk_size,
-                     key=jax.random.PRNGKey(args.seed))
+                     key=jax.random.PRNGKey(args.seed),
+                     window_batch=args.window_batch)
     write_video(np.asarray(frames)[0], args.output, fps=args.fps)
     print(f"wrote {args.output} ({t} frames @ {h}x{w})")
 

@@ -35,6 +35,7 @@ def build_parser():
     p.add_argument("--cmp_ckpt", default=None)
     p.add_argument("--num_frames", type=int, default=125)
     p.add_argument("--window_size", type=int, default=25)
+    p.add_argument("--window_batch", type=int, default=1)
     p.add_argument("--stride", type=int, default=12)
     p.add_argument("--num_inference_steps", type=int, default=25)
     p.add_argument("--target_size", type=int, default=512)
@@ -74,6 +75,7 @@ def run(args):
                "--num_frames", str(args.num_frames),
                "--window_size", str(args.window_size),
                "--stride", str(args.stride),
+               "--window_batch", str(args.window_batch),
                "--num_inference_steps", str(args.num_inference_steps),
                "--target_size", str(args.target_size),
                "--fps", str(args.fps), "--seed", str(args.seed)]

@@ -93,9 +93,18 @@ class KeypointPipeline:
                  decode_chunk_size: int = 8,
                  key: Optional[jax.Array] = None,
                  latents: Optional[jnp.ndarray] = None,
-                 output_type: str = "np"):
+                 output_type: str = "np",
+                 window_batch: int = 1):
         """image01 [1,H,W,3] in [0,1]; controlnet_flow [1,T-1,H,W,2];
-        landmarks [1,T,H,W,3] rasterized landmark images in [0,1]."""
+        landmarks [1,T,H,W,3] rasterized landmark images in [0,1].
+
+        window_batch > 1 denoises that many sliding windows per UNet call
+        by stacking them on the batch axis — exact semantics (windows
+        within one step are independent in the reference: value/count
+        accumulation, svdxt_pipeline_ctrlnet_loop.py:502-511), but one
+        wide MXU-friendly program instead of a window-at-a-time loop, and
+        near-even frame-axis sharding on a mesh (window count, not the
+        in-window frame count, rides the devices)."""
         b = image01.shape[0]
         assert b == 1, "windowed pipeline is single-video (reference batch_size=1)"
         t = landmarks.shape[1]
@@ -139,7 +148,7 @@ class KeypointPipeline:
             timesteps, idx, jnp.float32(controlnet_cond_scale),
             num_steps=num_inference_steps, window_size=window_size,
             decode_chunk_size=decode_chunk_size,
-            return_latent=True)
+            return_latent=True, window_batch=int(window_batch))
         if output_type == "latent":
             return out, controlnet_flow
         frames = decode_latents_jit(self.bundle, out, decode_chunk_size,
@@ -147,19 +156,23 @@ class KeypointPipeline:
         return postprocess_frames(frames), controlnet_flow
 
     @functools.partial(jax.jit, static_argnames=(
-        "self", "num_steps", "window_size", "decode_chunk_size", "return_latent"))
+        "self", "num_steps", "window_size", "decode_chunk_size",
+        "return_latent", "window_batch"))
     def _denoise_and_decode(self, unet_params, cn_params, vae_params, latents,
                             image_latents, image_embeddings, added_time_ids,
                             cond_image, flow_cfg, ldmk_cfg, guidance, sigmas,
                             timesteps, idx, cond_scale, *, num_steps: int,
                             window_size: int, decode_chunk_size: int,
-                            return_latent: bool):
+                            return_latent: bool, window_batch: int = 1):
         import contextlib
         from mofa_tpu.parallel.activation import frame_parallel
         ctx = (frame_parallel(self.mesh) if self.mesh is not None
                else contextlib.nullcontext())
         with ctx:
-            return self._denoise_body(
+            body = (self._denoise_body if window_batch == 1
+                    else functools.partial(self._denoise_body_batched,
+                                           window_batch=window_batch))
+            return body(
                 unet_params, cn_params, vae_params, latents, image_latents,
                 image_embeddings, added_time_ids, cond_image, flow_cfg,
                 ldmk_cfg, guidance, sigmas, timesteps, idx, cond_scale,
@@ -231,6 +244,105 @@ class KeypointPipeline:
         return decode_latents(bundle, latents, decode_chunk_size,
                               vae_params=vae_params)
 
+    def _denoise_body_batched(self, unet_params, cn_params, vae_params,
+                              latents, image_latents, image_embeddings,
+                              added_time_ids, cond_image, flow_cfg, ldmk_cfg,
+                              guidance, sigmas, timesteps, idx, cond_scale,
+                              num_steps, window_size, decode_chunk_size,
+                              return_latent, *, window_batch: int):
+        """Window-batched denoise: `window_batch` sliding windows stacked on
+        the UNet batch axis per call (exact vs the scan-over-views path —
+        within one denoise step the reference's windows only interact
+        through the value/count overlap average). The view count is padded
+        to a multiple of window_batch with zero-weight copies of the last
+        view, so every group is one static-shaped program."""
+        bundle = self.bundle
+        cn = bundle.controlnet
+        w_len = window_size
+        vb = window_batch
+        n_views = idx.shape[0]
+        g = -(-n_views // vb)
+        pad = g * vb - n_views
+
+        # per-view injection features (step-independent), as in the scan path
+        def encode_view(idx_v):
+            flow_v = jnp.take(flow_cfg, idx_v[1:] - 1, axis=1)
+            ldmk_v = jnp.take(ldmk_cfg, idx_v, axis=1)
+            inject, _ = cn.apply(cn_params, cond_image, flow_v, ldmk_v,
+                                 method=type(cn).encode_features)
+            return tuple(inject)
+
+        inject_stack = jax.lax.map(encode_view, idx)  # tuple of [V, 2W, h, w, c]
+
+        anchor_w = jnp.concatenate(
+            [jnp.where(jnp.arange(n_views) == 0, 1.0, 0.0)[:, None],
+             jnp.ones((n_views, w_len - 1))], axis=1)  # [V, W]
+        if pad:
+            idx = jnp.concatenate([idx, jnp.tile(idx[-1:], (pad, 1))])
+            anchor_w = jnp.concatenate(
+                [anchor_w, jnp.zeros((pad, w_len), anchor_w.dtype)])
+            inject_stack = tuple(
+                jnp.concatenate(
+                    [f, jnp.tile(f[-1:], (pad,) + (1,) * (f.ndim - 1))])
+                for f in inject_stack)
+
+        # group + reorder injection rows into the batched UNet's
+        # (cfg, view, frame) batch order: [G*Vb, 2W, ...] -> [G, 2*Vb*W, ...]
+        def group_feats(f):
+            tail = f.shape[2:]
+            f = f.reshape((g, vb, 2, w_len) + tail)
+            f = f.transpose((0, 2, 1, 3) + tuple(range(4, f.ndim)))
+            return f.reshape((g, 2 * vb * w_len) + tail)
+
+        inject_g = tuple(group_feats(f) for f in inject_stack)
+        idx_g = idx.reshape(g, vb, w_len)
+        aw_g = anchor_w.reshape(g, vb, w_len)
+
+        ehs = jnp.repeat(image_embeddings, vb, axis=0)   # [2Vb, 1, D] cfg-major
+        ids = jnp.repeat(added_time_ids, vb, axis=0)     # [2Vb, 3]
+
+        def step_fn(lat, i):
+            sigma, sigma_next, ts = sigmas[i], sigmas[i + 1], timesteps[i]
+
+            def group_fn(carry, xs):
+                value, count = carry
+                idx_v, inject_v, w_v = xs           # [Vb, W], tuple, [Vb, W]
+                flat = idx_v.reshape(-1)
+                win_lat = jnp.take(lat[0], flat, axis=0).reshape(
+                    (vb, w_len) + lat.shape[2:])    # [Vb, W, h, w, 4]
+                img_lat = jnp.take(image_latents, flat, axis=1).reshape(
+                    (2 * vb, w_len) + image_latents.shape[2:])
+                latent_in = jnp.concatenate([win_lat] * 2, axis=0)  # [2Vb, W,..]
+                latent_in = scale_model_input(latent_in, sigma)
+                latent_in = jnp.concatenate([latent_in, img_lat], axis=-1)
+                down_res, mid_res = cn.apply(
+                    cn_params, latent_in, ts, ehs, ids,
+                    conditioning_scale=cond_scale,
+                    precomputed_features=list(inject_v))
+                noise_pred = bundle.unet.apply(
+                    unet_params, latent_in, ts, ehs, ids,
+                    down_block_additional_residuals=down_res,
+                    mid_block_additional_residual=mid_res)
+                uncond, cond = jnp.split(noise_pred, 2, axis=0)   # [Vb, W, ..]
+                noise_pred = uncond + guidance.astype(cond.dtype) * (cond - uncond)
+                new_win, _ = euler_step(noise_pred, win_lat, sigma, sigma_next)
+                wv = w_v.reshape(-1)[:, None, None, None]         # [Vb*W,1,1,1]
+                upd = new_win.reshape((vb * w_len,) + new_win.shape[2:]) * wv
+                value = value.at[:, flat].add(upd[None].astype(value.dtype))
+                count = count.at[:, flat].add(
+                    jnp.broadcast_to(wv, upd.shape)[None].astype(count.dtype))
+                return (value, count), None
+
+            zeros = jnp.zeros_like(lat)
+            (value, count), _ = jax.lax.scan(
+                group_fn, (zeros, zeros), (idx_g, inject_g, aw_g))
+            return jnp.where(count > 0, value / count, value), None
+
+        latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(num_steps))
+        if return_latent:
+            return latents
+        return decode_latents(bundle, latents, decode_chunk_size,
+                              vae_params=vae_params)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _window_inject(self, cn_params, cond_image, flow_v, ldmk_v):
@@ -260,14 +372,53 @@ class KeypointPipeline:
         new_win, _ = euler_step(noise_pred, win_lat, sigma, sigma_next)
         return new_win
 
+    @functools.partial(jax.jit, static_argnames=("self", "vb", "w_len"))
+    def _window_step_batched(self, unet_params, cn_params, lat, image_latents,
+                             image_embeddings, added_time_ids, inject_v,
+                             guidance, idx_v, w_v, sigma, sigma_next, ts,
+                             cond_scale, *, vb: int, w_len: int):
+        """One denoise step of `vb` windows stacked on the batch axis, plus
+        the value/count scatter — same math as group_fn in the scanned
+        batched body, packaged as a small reusable program."""
+        bundle = self.bundle
+        flat = idx_v.reshape(-1)
+        win_lat = jnp.take(lat[0], flat, axis=0).reshape(
+            (vb, w_len) + lat.shape[2:])
+        img_lat = jnp.take(image_latents, flat, axis=1).reshape(
+            (2 * vb, w_len) + image_latents.shape[2:])
+        ehs = jnp.repeat(image_embeddings, vb, axis=0)
+        ids = jnp.repeat(added_time_ids, vb, axis=0)
+        latent_in = jnp.concatenate([win_lat] * 2, axis=0)
+        latent_in = scale_model_input(latent_in, sigma)
+        latent_in = jnp.concatenate([latent_in, img_lat], axis=-1)
+        down_res, mid_res = bundle.controlnet.apply(
+            cn_params, latent_in, ts, ehs, ids,
+            conditioning_scale=cond_scale,
+            precomputed_features=list(inject_v))
+        noise_pred = bundle.unet.apply(
+            unet_params, latent_in, ts, ehs, ids,
+            down_block_additional_residuals=down_res,
+            mid_block_additional_residual=mid_res)
+        uncond, cond = jnp.split(noise_pred, 2, axis=0)
+        noise_pred = uncond + guidance.astype(cond.dtype) * (cond - uncond)
+        new_win, _ = euler_step(noise_pred, win_lat, sigma, sigma_next)
+        wv = w_v.reshape(-1)[:, None, None, None]
+        upd = new_win.reshape((vb * w_len,) + new_win.shape[2:]) * wv
+        value = jnp.zeros_like(lat).at[:, flat].add(upd[None].astype(lat.dtype))
+        count = jnp.zeros_like(lat).at[:, flat].add(
+            jnp.broadcast_to(wv, upd.shape)[None].astype(lat.dtype))
+        return value, count
+
     def _denoise_small_programs(self, unet_params, cn_params, vae_params,
                                 latents, image_latents, image_embeddings,
                                 added_time_ids, cond_image, flow_cfg,
                                 ldmk_cfg, guidance, sigmas, timesteps, idx,
                                 cond_scale, *, num_steps, window_size,
-                                decode_chunk_size, return_latent):
+                                decode_chunk_size, return_latent,
+                                window_batch: int = 1):
         """Host-driven loops over steps/views; each window step is one
-        small reused jit program (semantics identical to the scan path)."""
+        small reused jit program (semantics identical to the scan path).
+        window_batch > 1 stacks that many windows per program call."""
         del decode_chunk_size, return_latent  # decode happens in __call__
         idx_np = np.asarray(idx)
         n_views = idx_np.shape[0]
@@ -278,6 +429,12 @@ class KeypointPipeline:
             ldmk_v = jnp.take(ldmk_cfg, iv, axis=1)
             injects.append(self._window_inject(cn_params, cond_image,
                                                flow_v, ldmk_v))
+        if window_batch > 1:
+            return self._small_programs_batched(
+                unet_params, cn_params, latents, image_latents,
+                image_embeddings, added_time_ids, injects, guidance, sigmas,
+                timesteps, idx_np, cond_scale, num_steps, window_size,
+                window_batch)
         lat = latents
         for i in range(num_steps):
             value = jnp.zeros_like(lat)
@@ -297,5 +454,52 @@ class KeypointPipeline:
                 value = value.at[:, jnp.asarray(iv)].add(new_win * wv)
                 count = count.at[:, jnp.asarray(iv)].add(
                     jnp.broadcast_to(wv, new_win.shape))
+            lat = jnp.where(count > 0, value / count, value)
+        return lat
+
+    def _small_programs_batched(self, unet_params, cn_params, latents,
+                                image_latents, image_embeddings,
+                                added_time_ids, injects, guidance, sigmas,
+                                timesteps, idx_np, cond_scale, num_steps,
+                                window_size, window_batch):
+        vb, w_len = window_batch, window_size
+        n_views = idx_np.shape[0]
+        g = -(-n_views // vb)
+        pad = g * vb - n_views
+        anchor = np.ones((n_views, w_len), np.float32)
+        anchor[1:, 0] = 0.0
+        if pad:  # zero-weight copies of the last view fill the tail group
+            idx_np = np.concatenate([idx_np, np.tile(idx_np[-1:], (pad, 1))])
+            anchor = np.concatenate(
+                [anchor, np.zeros((pad, w_len), np.float32)])
+            injects = injects + [injects[-1]] * pad
+        def regroup(f_stack):
+            # [Vb, 2W, *tail] -> (cfg, view, frame)-ordered [2*Vb*W, *tail]
+            tail = f_stack.shape[2:]
+            f_stack = f_stack.reshape((vb, 2, w_len) + tail)
+            f_stack = f_stack.transpose(
+                (1, 0, 2) + tuple(range(3, f_stack.ndim)))
+            return f_stack.reshape((2 * vb * w_len,) + tail)
+
+        groups = []
+        for gi in range(g):
+            view_feats = injects[gi * vb:(gi + 1) * vb]
+            feats = tuple(
+                regroup(jnp.stack([f[fi] for f in view_feats]))
+                for fi in range(len(injects[0])))
+            groups.append((jnp.asarray(idx_np[gi * vb:(gi + 1) * vb]),
+                           jnp.asarray(anchor[gi * vb:(gi + 1) * vb]), feats))
+        lat = latents
+        for i in range(num_steps):
+            value = jnp.zeros_like(lat)
+            count = jnp.zeros_like(lat)
+            for idx_v, w_v, feats in groups:
+                dv, dc = self._window_step_batched(
+                    unet_params, cn_params, lat, image_latents,
+                    image_embeddings, added_time_ids, feats, guidance,
+                    idx_v, w_v, sigmas[i], sigmas[i + 1], timesteps[i],
+                    cond_scale, vb=vb, w_len=w_len)
+                value = value + dv
+                count = count + dc
             lat = jnp.where(count > 0, value / count, value)
         return lat
