@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -39,6 +40,15 @@ class CMPConfig:
     fmax: float = 50.0
     resnet_layers: tuple = (3, 4, 6, 3)
     base_width: int = 64
+    # architecture selectors mirroring the reference model params dict
+    # (models/cmp/models/modules/cmp.py:9-25): the shipped config uses
+    # resnet50 + MotionDecoderSkipLayer; alexnet_fcn_{8x,32x} and the
+    # Plain/FlowNet decoders are the alternative experiment configs.
+    image_encoder: str = "resnet50"
+    sparse_encoder: str = "shallownet8x"
+    flow_decoder: str = "MotionDecoderSkipLayer"
+    decoder_combo: tuple = (1, 2, 4)
+    skip_layer: bool = True
 
 
 TINY_CMP_CONFIG = CMPConfig(img_enc_dim=32, sparse_enc_dim=8, output_dim=18,
@@ -131,7 +141,11 @@ class ResNetDilated(nn.Module):
 
 
 class ShallowNet8x(nn.Module):
+    """modules/shallownet.py:4-46 — shallownet8x (final avg-pool 2) or
+    shallownet32x (final avg-pool 8) per `final_pool`."""
+
     cfg: CMPConfig
+    final_pool: int = 2
 
     @nn.compact
     def __call__(self, sparse):
@@ -144,15 +158,22 @@ class ShallowNet8x(nn.Module):
                     name="features_4")(x)
         x = BatchNorm(name="features_5")(x)
         x = nn.relu(x)
-        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+        p = self.final_pool
+        return nn.avg_pool(x, (p, p), strides=(p, p))
 
 
 class _ConvBNRelu(nn.Module):
     features: int
+    kernel: int = 3
+    stride: int = 1
+    pad: int = -1  # -1: same-style kernel//2
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, name="conv")(x)
+        pad = self.kernel // 2 if self.pad < 0 else self.pad
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad)] * 2, name="conv")(x)
         x = BatchNorm(name="bn")(x)
         return nn.relu(x)
 
@@ -189,6 +210,135 @@ class MotionDecoderSkipLayer(nn.Module):
         return nn.Conv(self.cfg.output_dim, (1, 1), name="head")(f2)
 
 
+class MotionDecoderPlain(nn.Module):
+    """modules/decoder.py:5-94 — pooled conv branches (2 conv+BN+ReLU each,
+    branch set from `decoder_combo`), bilinear(align_corners) upsample back,
+    concat, 1x1 head. No encoder skips."""
+
+    cfg: CMPConfig
+
+    @nn.compact
+    def __call__(self, x):
+        def branch(x, pool, name):
+            h = x if pool == 1 else _max_pool(x, pool, pool)
+            for i in range(2):
+                h = _ConvBNRelu(128, name=f"{name}_{i}")(h)
+            return h
+
+        size = x.shape[1:3]
+        outs = []
+        for c in self.cfg.decoder_combo:
+            h = branch(x, c, f"decoder{c}")
+            if c != 1:
+                h = resize_nhwc(h, size, "bilinear", True)
+            outs.append(h)
+        cat = jnp.concatenate(outs, axis=-1)
+        return nn.Conv(self.cfg.output_dim, (1, 1), name="head")(cat)
+
+
+class TorchConvTranspose4x2(nn.Module):
+    """torch ConvTranspose2d(k4, s2, p1) arithmetic: dilate the input by 2,
+    pad (k-1-p)=2 both sides, VALID conv — output is exactly 2x the input.
+    Kernel stored pre-flipped HWIO (convert_cmp_state_dict flips + lays out
+    the torch [I, O, 4, 4] weight)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4, 4, x.shape[-1], self.features), jnp.float32)
+        out = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(1, 1),
+            padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias.astype(x.dtype)
+        return out
+
+
+class MotionDecoderFlowNet(nn.Module):
+    """modules/decoder.py:218-345 — propagation branches + FlowNet-style
+    coarse-to-fine head: predict flow at /8, upsample via transpose conv,
+    refine against the encoder skips (layer1/conv1/img at /4,/2,/1 with
+    fixed 256/64/3 channels). Returns [flow1, flow2, flow4, flow8]
+    finest-first, as the reference does."""
+
+    cfg: CMPConfig
+
+    @nn.compact
+    def __call__(self, x, skip_feat):
+        img, conv1, layer1 = skip_feat  # 3ch @ /1, 64ch @ /2, 256ch @ /4
+        out_dim = self.cfg.output_dim
+
+        def branch(x, pool, name):
+            h = x if pool == 1 else _max_pool(x, pool, pool)
+            for i in range(3):
+                h = _ConvBNRelu(128, name=f"{name}_{i}")(h)
+            return h
+
+        size = x.shape[1:3]
+        x1 = branch(x, 1, "decoder1")
+        x2 = resize_nhwc(branch(x, 2, "decoder2"), size, "bilinear", True)
+        x4 = resize_nhwc(branch(x, 4, "decoder4"), size, "bilinear", True)
+        x8 = resize_nhwc(branch(x, 8, "decoder8"), size, "bilinear", True)
+        feat8 = _ConvBNRelu(256, name="fusion8")(
+            jnp.concatenate([x1, x2, x4, x8], axis=-1))
+
+        def predict(h, name):
+            return nn.Conv(out_dim, (3, 3), padding=[(1, 1)] * 2, name=name)(h)
+
+        def deconv(h, features, name):
+            return nn.leaky_relu(
+                TorchConvTranspose4x2(features, name=name)(h), 0.1)
+
+        flow8 = predict(feat8, "predict_flow8")
+        flow8_up = TorchConvTranspose4x2(out_dim, use_bias=False,
+                                         name="upsampled_flow8_to_4")(flow8)
+        concat4 = jnp.concatenate(
+            [layer1, deconv(feat8, 128, "deconv8"), flow8_up], axis=-1)
+        flow4 = predict(concat4, "predict_flow4")
+        flow4_up = TorchConvTranspose4x2(out_dim, use_bias=False,
+                                         name="upsampled_flow4_to_2")(flow4)
+        concat2 = jnp.concatenate(
+            [conv1, deconv(concat4, 128, "deconv4"), flow4_up], axis=-1)
+        flow2 = predict(concat2, "predict_flow2")
+        flow2_up = TorchConvTranspose4x2(out_dim, use_bias=False,
+                                         name="upsampled_flow2_to_1")(flow2)
+        concat1 = jnp.concatenate(
+            [img, deconv(concat2, 64, "deconv2"), flow2_up], axis=-1)
+        flow1 = predict(concat1, "predict_flow1")
+        return [flow1, flow2, flow4, flow8]
+
+
+class AlexNetFCN(nn.Module):
+    """backbone/alexnet.py:4-83 — BN AlexNet as an FCN encoder. `stride8`
+    selects alexnet_fcn_8x (strides [2,2,2,1]) vs alexnet_fcn_32x
+    ([4,2,2,2]); dropout is identity at inference. No skip features
+    (reference raises on ret_feat) — pair with MotionDecoderPlain."""
+
+    cfg: CMPConfig
+    stride8: bool = True
+
+    @nn.compact
+    def __call__(self, img):
+        s = (2, 2, 2, 1) if self.stride8 else (4, 2, 2, 2)
+        x = _ConvBNRelu(96, kernel=11, stride=s[0], pad=5, name="conv1")(img)
+        x = _max_pool(x, 3, s[1], padding=1)
+        x = _ConvBNRelu(256, kernel=5, name="conv2")(x)
+        x = _max_pool(x, 3, s[2], padding=1)
+        x = _ConvBNRelu(384, kernel=3, name="conv3")(x)
+        x = _ConvBNRelu(384, kernel=3, name="conv4")(x)
+        x = _ConvBNRelu(256, kernel=3, name="conv5")(x)
+        x = _max_pool(x, 3, s[3], padding=1)
+        x = _ConvBNRelu(4096, kernel=3, name="fc6")(x)
+        x = _ConvBNRelu(4096, kernel=1, name="fc7")(x)
+        return nn.Conv(self.cfg.img_enc_dim, (1, 1), name="conv8")(x)
+
+
 def fuser_convert_flow(flow_prob: jnp.ndarray, nbins: int, fmax: float) -> jnp.ndarray:
     """[N, H, W, 2*nbins] logits -> [N, H, W, 2] expected flow."""
     step = 2 * fmax / float(nbins)
@@ -215,20 +365,44 @@ class CMP(nn.Module):
     cfg: CMPConfig = CMPConfig()
 
     def setup(self):
-        self.flow_encoder = ShallowNet8x(self.cfg)
-        self.image_encoder = ResNetDilated(self.cfg)
-        self.flow_decoder = MotionDecoderSkipLayer(self.cfg)
+        cfg = self.cfg
+        self.flow_encoder = ShallowNet8x(
+            cfg, final_pool=8 if cfg.sparse_encoder == "shallownet32x" else 2)
+        encoders = {
+            "resnet50": lambda: ResNetDilated(cfg),
+            "alexnet_fcn_8x": lambda: AlexNetFCN(cfg, stride8=True),
+            "alexnet_fcn_32x": lambda: AlexNetFCN(cfg, stride8=False),
+        }
+        self.image_encoder = encoders[cfg.image_encoder]()
+        decoders = {
+            "MotionDecoderSkipLayer": lambda: MotionDecoderSkipLayer(cfg),
+            "MotionDecoderPlain": lambda: MotionDecoderPlain(cfg),
+            "MotionDecoderFlowNet": lambda: MotionDecoderFlowNet(cfg),
+        }
+        self.flow_decoder = decoders[cfg.flow_decoder]()
+        if cfg.skip_layer:
+            # mirrors the reference assertion (modules/cmp.py:16-17); the
+            # FlowNet decoder also needs skips even though the reference
+            # CMP wrapper can't route them to it
+            assert cfg.flow_decoder == "MotionDecoderSkipLayer"
 
     def logits(self, image, sparse, mask):
-        """Raw 2*nbins decoder logits at /2 res (training loss input)."""
+        """Raw 2*nbins decoder logits at /2 res (training loss input); a
+        list of per-scale logits for the FlowNet decoder."""
         sp = jnp.concatenate([sparse, mask], axis=-1)
         sparse_enc = self.flow_encoder(sp)
-        img_enc, skips = self.image_encoder(image)
+        img_enc, skips = self.image_encoder(image) \
+            if self.cfg.image_encoder == "resnet50" \
+            else (self.image_encoder(image), None)
         dec_in = jnp.concatenate([img_enc, sparse_enc], axis=-1)
+        if self.cfg.flow_decoder == "MotionDecoderPlain":
+            return self.flow_decoder(dec_in)
         return self.flow_decoder(dec_in, skips)
 
     def __call__(self, image, sparse, mask):
         logits = self.logits(image, sparse, mask)
+        if isinstance(logits, (list, tuple)):
+            logits = logits[0]  # FlowNet: finest scale
         flow = fuser_convert_flow(logits, self.cfg.nbins, self.cfg.fmax)
         if flow.shape[1] != image.shape[1]:
             flow = resize_nhwc(flow, image.shape[1:3], "bilinear", True)
@@ -245,6 +419,14 @@ def cmp_config_from_yaml(path: str) -> CMPConfig:
     margs = raw["model"]["module"] if "module" in raw.get("model", {}) else \
         raw.get("model", raw)
     return CMPConfig(
+        img_enc_dim=int(margs.get("img_enc_dim", 256)),
+        sparse_enc_dim=int(margs.get("sparse_enc_dim", 16)),
+        output_dim=int(margs.get("output_dim", 198)),
         nbins=int(margs.get("nbins", 99)),
         fmax=float(margs.get("fmax", 50)),
+        image_encoder=str(margs.get("image_encoder", "resnet50")),
+        sparse_encoder=str(margs.get("sparse_encoder", "shallownet8x")),
+        flow_decoder=str(margs.get("flow_decoder", "MotionDecoderSkipLayer")),
+        decoder_combo=tuple(margs.get("decoder_combo", (1, 2, 4))),
+        skip_layer=bool(margs.get("skip_layer", True)),
     )

@@ -75,6 +75,39 @@ def kld_loss(mean: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
     return -0.5 * jnp.sum(1 + logvar - mean ** 2 - jnp.exp(logvar))
 
 
+def _sobel_edge_map(x: jnp.ndarray) -> jnp.ndarray:
+    """EdgeAwareLoss.get_edge (losses.py:45-52): per-channel Sobel gx/gy
+    (depthwise conv, pad 1), magnitude sqrt(gx^2+gy^2+1e-5), mean over
+    channels. x [N, H, W, C] -> [N, H, W, 1]."""
+    kx = jnp.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]], jnp.float32)
+    ky = jnp.array([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], jnp.float32)
+    c = x.shape[-1]
+
+    def depthwise(k):
+        kern = jnp.broadcast_to(k[:, :, None, None], (3, 3, 1, c))
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), kern, window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+
+    mag = jnp.sqrt(depthwise(kx) ** 2 + depthwise(ky) ** 2 + 1e-5)
+    return jnp.mean(mag, axis=-1, keepdims=True)
+
+
+def edge_aware_loss(pred_flow: jnp.ndarray, target_flow: jnp.ndarray) -> jnp.ndarray:
+    """EdgeAwareLoss L1 (losses.py:24-64): smooth-L1 between Sobel edge
+    magnitudes of prediction (bilinear align_corners resized to target res)
+    and target. pred/target [N, H, W, 2]."""
+    if pred_flow.shape[1:3] != target_flow.shape[1:3]:
+        from mofa_tpu.ops.resize import resize_nhwc
+        pred_flow = resize_nhwc(pred_flow, target_flow.shape[1:3], "bilinear",
+                                align_corners=True)
+    pe = _sobel_edge_map(pred_flow)
+    te = _sobel_edge_map(target_flow)
+    return jnp.mean(optax.huber_loss(pe, te, delta=1.0))
+
+
 # ------------------------------------------------------------------ warps
 
 def grid_sample_norm(image: jnp.ndarray, grid: jnp.ndarray,

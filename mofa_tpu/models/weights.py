@@ -181,13 +181,33 @@ def remap_cmp_key(key: str) -> str | None:
         if kind is None:
             return None
         return f"flow_decoder.{name}.{kind}.{rest}"
+    # AlexNetFCN: Sequential(conv, BN, ReLU) blocks named conv1..fc7
+    m = re.match(r"image_encoder\.(conv[1-7]|fc[67])\.([01])\.(.+)", key)
+    if m:
+        kind = "conv" if m.group(2) == "0" else "bn"
+        return f"image_encoder.{m.group(1)}.{kind}.{m.group(3)}"
+    # MotionDecoderFlowNet deconv Sequential(ConvTranspose2d, LeakyReLU)
+    m = re.match(r"flow_decoder\.(deconv[248])\.0\.(.+)", key)
+    if m:
+        return f"flow_decoder.{m.group(1)}.{m.group(2)}"
     return key
+
+
+def _is_cmp_transpose_conv(key: str) -> bool:
+    return bool(re.search(
+        r"flow_decoder\.(deconv[248]\.0|upsampled_flow\d_to_\d)\.weight$", key))
 
 
 def convert_cmp_state_dict(flax_params: dict, torch_sd: Dict[str, np.ndarray],
                            strict: bool = True) -> dict:
     remapped = {}
     for k, v in torch_sd.items():
+        if _is_cmp_transpose_conv(re.sub(r"^(module\.)+", "", k)):
+            # torch ConvTranspose2d weight [I, O, kh, kw] -> pre-flipped
+            # HWIO "kernel" (TorchConvTranspose4x2 runs it as an
+            # input-dilated VALID conv)
+            v = np.flip(_to_numpy(v), (2, 3)).transpose(2, 3, 0, 1).copy()
+            k = k[: -len("weight")] + "kernel"
         nk = remap_cmp_key(k)
         if nk is not None:
             remapped[nk] = v
