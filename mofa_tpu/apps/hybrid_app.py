@@ -25,6 +25,10 @@ def build_parser():
     p.add_argument("--tracks", default=None, help="trajectory JSON (optional)")
     p.add_argument("--face_mask", default=None, help="{0,255} PNG (optional)")
     p.add_argument("--output", default="output.mp4")
+    p.add_argument("--panel_output", default=None,
+                   help="also write the reference save_video composite "
+                        "(first frame | drag flow | face flow | ldmk "
+                        "raster | output+dots | output) to this path")
     p.add_argument("--svd_dir", default=None)
     p.add_argument("--controlnet_dir", default=None, help="ldmk adapter")
     p.add_argument("--controlnet2_dir", default=None, help="drag adapter")
@@ -118,6 +122,12 @@ def run(args):
                      key=jax.random.PRNGKey(args.seed))
     write_video(np.asarray(frames)[0], args.output, fps=args.fps)
     print(f"wrote {args.output} ({t} frames @ {h}x{w})")
+    if args.panel_output:
+        from mofa_tpu.apps.panels import hybrid_panel
+        panel = hybrid_panel(image, np.asarray(drag)[0], np.asarray(face_flow)[0],
+                             ldmk_imgs, np.asarray(frames)[0], landmarks)
+        write_video(panel, args.panel_output, fps=args.fps)
+        print(f"wrote {args.panel_output}")
 
 
 def main(argv=None):

@@ -24,6 +24,10 @@ def build_parser():
     p.add_argument("--image", required=True)
     p.add_argument("--landmarks", required=True, help="landmarks.npy [T,68,2]")
     p.add_argument("--output", default="output.mp4")
+    p.add_argument("--panel_output", default=None,
+                   help="also write the reference's 5-panel diagnostic "
+                        "video (first frame | flow | ldmk raster | "
+                        "output+dots | output) to this path")
     p.add_argument("--svd_dir", default=None)
     p.add_argument("--controlnet_dir", default=None)
     p.add_argument("--cmp_ckpt", default=None)
@@ -99,6 +103,12 @@ def run(args):
                      window_batch=args.window_batch)
     write_video(np.asarray(frames)[0], args.output, fps=args.fps)
     print(f"wrote {args.output} ({t} frames @ {h}x{w})")
+    if args.panel_output:
+        from mofa_tpu.apps.panels import keypoint_panel
+        panel = keypoint_panel(image, np.asarray(flow)[0], ldmk_imgs,
+                               np.asarray(frames)[0], landmarks)
+        write_video(panel, args.panel_output, fps=args.fps)
+        print(f"wrote {args.panel_output}")
 
 
 def main(argv=None):

@@ -18,6 +18,9 @@ Layouts:
   frames (datasets.py:141-170).
 - ``kitti``: ``<root>/<split>/image_2/NNNNNN_10.png`` + ``_11.png`` with
   ``flow_occ/NNNNNN_10.png`` 16-bit flow+valid (datasets.py:278-297).
+- ``things``: FlyingThings3D ``<root>/<dstype>/<split>/*/*/left/*.png``
+  with ``optical_flow/<split>/*/*/<direction>/left/*.pfm``, left camera,
+  both temporal directions (datasets.py:192-227).
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ class FlowSample:
     img1_path: str
     img2_path: str
     flow_path: Optional[str] = None  # None for test splits without GT
-    flow_format: str = "flo"         # "flo" | "kitti_png"
+    flow_format: str = "flo"         # "flo" | "kitti_png" | "pfm"
 
 
 def read_flow_kitti(path: str):
@@ -58,6 +61,66 @@ def write_flow_kitti(path: str, flow: np.ndarray):
     valid = np.ones(flow.shape[:2] + (1,), np.float32)
     png = np.concatenate([uv, valid], axis=-1).astype(np.uint16)
     cv2.imwrite(path, png[:, :, ::-1])
+
+
+def read_pfm(path: str) -> np.ndarray:
+    """frame_utils.py readPFM — PF/Pf header, dims line, scale line whose
+    sign encodes endianness; rows stored bottom-up. Flow .pfm files are
+    3-channel with the last channel discarded (read_gen)."""
+    with open(path, "rb") as f:
+        header = f.readline().rstrip()
+        if header == b"PF":
+            channels = 3
+        elif header == b"Pf":
+            channels = 1
+        else:
+            raise ValueError(f"not a PFM file: {path}")
+        dims = f.readline().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().rstrip())
+        dt = "<f" if scale < 0 else ">f"
+        data = np.frombuffer(f.read(), dtype=dt)
+    data = data.reshape(h, w, channels) if channels == 3 else data.reshape(h, w)
+    data = np.flipud(data).astype(np.float32)
+    return data[:, :, :2] if channels == 3 else data
+
+
+def write_pfm(path: str, data: np.ndarray, scale: float = 1.0):
+    """frame_utils.py writePFM — little-endian (negative scale), rows
+    bottom-up; 2-channel flow is padded to the 3-channel PF form."""
+    data = np.asarray(data, np.float32)
+    if data.ndim == 3 and data.shape[2] == 2:
+        data = np.concatenate([data, np.zeros_like(data[..., :1])], axis=-1)
+    header = b"PF" if data.ndim == 3 else b"Pf"
+    with open(path, "wb") as f:
+        f.write(header + b"\n")
+        f.write(f"{data.shape[1]} {data.shape[0]}\n".encode())
+        f.write(f"{-abs(scale)}\n".encode())
+        f.write(np.flipud(data).astype("<f").tobytes())
+
+
+def _discover_things(root: str, split: str = "TRAIN",
+                     dstype: str = "frames_cleanpass") -> List[FlowSample]:
+    """FlyingThings3D (datasets.py:192-227): left camera, both temporal
+    directions; into_past swaps the image pair and uses the next flow."""
+    out = []
+    scene_imgs = sorted(glob.glob(os.path.join(root, dstype, split, "*", "*")))
+    scene_flows = sorted(glob.glob(os.path.join(root, "optical_flow", split,
+                                                "*", "*")))
+    for direction in ("into_future", "into_past"):
+        img_dirs = [os.path.join(d, "left") for d in scene_imgs]
+        flow_dirs = [os.path.join(d, direction, "left") for d in scene_flows]
+        for idir, fdir in zip(img_dirs, flow_dirs):
+            images = sorted(glob.glob(os.path.join(idir, "*.png")))
+            flows = sorted(glob.glob(os.path.join(fdir, "*.pfm")))
+            for i in range(len(flows) - 1):
+                if direction == "into_future":
+                    out.append(FlowSample(images[i], images[i + 1], flows[i],
+                                          flow_format="pfm"))
+                else:
+                    out.append(FlowSample(images[i + 1], images[i],
+                                          flows[i + 1], flow_format="pfm"))
+    return out
 
 
 def _discover_triples(root: str) -> List[FlowSample]:
@@ -113,8 +176,8 @@ def _discover_kitti(root: str, split: str = "training") -> List[FlowSample]:
 
 def discover_flow_samples(root: str, layout: str = "auto",
                           **kw) -> List[FlowSample]:
-    """layout: auto | triples | chairs | sintel | kitti. ``auto`` sniffs
-    the directory structure in that order."""
+    """layout: auto | triples | chairs | sintel | kitti | things.
+    ``auto`` sniffs the directory structure in that order."""
     if layout == "auto":
         if glob.glob(os.path.join(root, "*_flow.flo")):
             layout = "triples"
@@ -126,11 +189,15 @@ def discover_flow_samples(root: str, layout: str = "auto",
         elif os.path.isdir(os.path.join(root, kw.get("split", "training"),
                                         "image_2")):
             layout = "kitti"
+        elif os.path.isdir(os.path.join(root, "optical_flow")):
+            layout = "things"
         else:
             raise ValueError(f"cannot sniff flow-dataset layout in {root}")
     fn = {"triples": _discover_triples, "chairs": _discover_chairs,
-          "sintel": _discover_sintel, "kitti": _discover_kitti}[layout]
-    samples = fn(root, **kw) if layout in ("sintel", "kitti") else fn(root)
+          "sintel": _discover_sintel, "kitti": _discover_kitti,
+          "things": _discover_things}[layout]
+    samples = fn(root, **kw) if layout in ("sintel", "kitti", "things") \
+        else fn(root)
     assert samples, f"no samples found in {root} (layout={layout})"
     return samples
 
@@ -147,6 +214,10 @@ def load_sample(s: FlowSample):
         return img1, img2, None, None
     if s.flow_format == "kitti_png":
         flow, valid = read_flow_kitti(s.flow_path)
+    elif s.flow_format == "pfm":
+        flow = read_pfm(s.flow_path)
+        valid = ((np.abs(flow[..., 0]) < 1000)
+                 & (np.abs(flow[..., 1]) < 1000)).astype(np.float32)
     else:
         flow = read_flo(s.flow_path)
         # .flo datasets mark invalid pixels with huge magnitudes

@@ -5,7 +5,8 @@ from PIL import Image
 
 from mofa_tpu.ops.flow_viz import write_flo
 from mofa_tpu.train.flow_datasets import (discover_flow_samples, load_sample,
-                                          read_flow_kitti, write_flow_kitti)
+                                          read_flow_kitti, write_flow_kitti,
+                                          read_pfm, write_pfm)
 
 
 def _img(path, h=8, w=10, seed=0):
@@ -61,6 +62,43 @@ def test_sintel_layout(tmp_path):
     assert len(s) == 2
     assert s[1].img1_path.endswith("frame_0001.png")
     assert s[1].img2_path.endswith("frame_0002.png")
+
+
+def test_pfm_roundtrip(tmp_path):
+    rng = np.random.RandomState(2)
+    flow = rng.randn(6, 9, 2).astype(np.float32) * 10
+    p = str(tmp_path / "f.pfm")
+    write_pfm(p, flow)
+    np.testing.assert_array_equal(read_pfm(p), flow)
+
+
+def test_things_layout(tmp_path):
+    """FlyingThings3D: into_future keeps pair order, into_past swaps it
+    and takes the next flow (datasets.py:221-227)."""
+    idir = tmp_path / "frames_cleanpass" / "TRAIN" / "A" / "0000" / "left"
+    fdirs = {d: tmp_path / "optical_flow" / "TRAIN" / "A" / "0000" / d / "left"
+             for d in ("into_future", "into_past")}
+    idir.mkdir(parents=True)
+    for d in fdirs.values():
+        d.mkdir(parents=True)
+    for i in range(3):
+        _img(idir / f"{i:04d}.png", seed=i)
+        for d, p in fdirs.items():
+            write_pfm(str(p / f"{i:04d}.pfm"),
+                      np.full((8, 10, 2), float(i), np.float32))
+    s = discover_flow_samples(str(tmp_path))  # auto sniff
+    assert len(s) == 4  # 2 per direction
+    fut = [x for x in s if "into_future" in x.flow_path]
+    past = [x for x in s if "into_past" in x.flow_path]
+    assert fut[0].img1_path.endswith("0000.png")
+    assert fut[0].img2_path.endswith("0001.png")
+    assert fut[0].flow_path.endswith("0000.pfm")
+    assert past[0].img1_path.endswith("0001.png")
+    assert past[0].img2_path.endswith("0000.png")
+    assert past[0].flow_path.endswith("0001.pfm")
+    _, _, fl, va = load_sample(past[0])
+    np.testing.assert_array_equal(fl, 1.0)
+    assert (va == 1).all()
 
 
 def test_kitti_layout(tmp_path):
