@@ -60,3 +60,16 @@ def test_window_batch_small_programs_matches():
     pipe = KeypointPipeline(bundle, big_program=False)
     got = _run(pipe, args, 3)
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=5e-3)
+
+
+def test_window_batch_frame_parallel_matches():
+    """Window-batched denoise sharded over an 8-device frames mesh must
+    match the unsharded batched run — the 2*Vb*W flattened batch axis is
+    what rides the devices."""
+    from mofa_tpu.core.mesh import make_mesh
+
+    bundle, *args = _setup()
+    want = _run(KeypointPipeline(bundle), args, 2)
+    pipe = KeypointPipeline(bundle, mesh=make_mesh(data=1, frames=8))
+    got = _run(pipe, args, 2)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=5e-3)
