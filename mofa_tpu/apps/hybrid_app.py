@@ -45,10 +45,17 @@ def build_parser():
                    help="shard the denoise over all devices' frames axis")
     p.add_argument("--tiny", action="store_true",
                    help="micro model configs (smoke tests; no real weights)")
-    return p
+    from mofa_tpu.apps.instrument import add_observability_args
+    return add_observability_args(p)
 
 
 def run(args):
+    from mofa_tpu.apps.instrument import observe
+    with observe(args) as timer:
+        _run(args, timer)
+
+
+def _run(args, timer):
     from mofa_tpu.apps.loaders import load_bundle, load_cmp_params, write_video
     from mofa_tpu.pipelines.hybrid import HybridPipeline
     from mofa_tpu.preprocess.traj import (
@@ -64,16 +71,18 @@ def run(args):
 
     image_j = jnp.asarray(image)[None]
     image_384 = resize_nhwc(image_j, (384, 384))
-    cmp_params = load_cmp_params(args.cmp_ckpt)
+    with timer.phase("cmp_load"):
+        cmp_params = load_cmp_params(args.cmp_ckpt)
 
     # face flow from landmark scatter
     flow_in = prepare_landmark_flow(landmarks[None], h, w)
     ldmk_imgs = draw_landmark_sequence(landmarks, h, w)
     ldmk_engine = LandmarkFlowEngine(cmp_params)
     frames_384 = jnp.repeat(image_384[:, None], t - 1, axis=1)
-    face_flow = ldmk_engine.get_cmp_flow_landmarks(
-        frames_384, jnp.asarray(flow_in["sparse_flow_384"]),
-        jnp.asarray(flow_in["mask_384"]), h, w)
+    with timer.phase("cmp_flow"):
+        face_flow = jax.block_until_ready(ldmk_engine.get_cmp_flow_landmarks(
+            frames_384, jnp.asarray(flow_in["sparse_flow_384"]),
+            jnp.asarray(flow_in["mask_384"]), h, w))
 
     # drag flow from trajectories (zero if none), tiled to landmark length
     if args.tracks:
@@ -103,24 +112,29 @@ def run(args):
         from mofa_tpu.models.clip_vision import TINY_CLIP_CONFIG
         cfg_kw = dict(unet_cfg=MICRO_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG,
                       clip_cfg=TINY_CLIP_CONFIG)
-    bundle = load_bundle(args.svd_dir, args.controlnet_dir, **cfg_kw,
-                         controlnet2_dir=args.controlnet2_dir or "",
-                         ldmk=True,
-                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                         image_size=(h, w), num_frames=t)
+    with timer.phase("bundle_load"):
+        bundle = load_bundle(args.svd_dir, args.controlnet_dir, **cfg_kw,
+                             controlnet2_dir=args.controlnet2_dir or "",
+                             ldmk=True,
+                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                             image_size=(h, w), num_frames=t)
     mesh = None
     if args.frame_parallel:
         from mofa_tpu.core.mesh import make_mesh
         mesh = make_mesh(data=1, frames=len(jax.devices()))
     pipe = HybridPipeline(bundle, mesh=mesh)
-    frames, _ = pipe(image_j, face_flow, drag, jnp.asarray(ldmk_imgs)[None],
-                     face_mask,
-                     num_inference_steps=args.num_inference_steps,
-                     ctrl_scale_ldmk=args.ctrl_scale_ldmk,
-                     ctrl_scale_traj=args.ctrl_scale_traj,
-                     decode_chunk_size=args.decode_chunk_size,
-                     key=jax.random.PRNGKey(args.seed))
-    write_video(np.asarray(frames)[0], args.output, fps=args.fps)
+    from mofa_tpu.apps.instrument import maybe_trace
+    with timer.phase("denoise_decode"), maybe_trace(args):
+        frames, _ = pipe(image_j, face_flow, drag,
+                         jnp.asarray(ldmk_imgs)[None], face_mask,
+                         num_inference_steps=args.num_inference_steps,
+                         ctrl_scale_ldmk=args.ctrl_scale_ldmk,
+                         ctrl_scale_traj=args.ctrl_scale_traj,
+                         decode_chunk_size=args.decode_chunk_size,
+                         key=jax.random.PRNGKey(args.seed))
+        frames = jax.block_until_ready(frames)
+    with timer.phase("write"):
+        write_video(np.asarray(frames)[0], args.output, fps=args.fps)
     print(f"wrote {args.output} ({t} frames @ {h}x{w})")
     if args.panel_output:
         from mofa_tpu.apps.panels import hybrid_panel

@@ -51,10 +51,17 @@ def build_parser():
                    help="shard the denoise over all devices' frames axis")
     p.add_argument("--tiny", action="store_true",
                    help="micro model configs (smoke tests; no real weights)")
-    return p
+    from mofa_tpu.apps.instrument import add_observability_args
+    return add_observability_args(p)
 
 
 def run(args):
+    from mofa_tpu.apps.instrument import observe
+    with observe(args) as timer:
+        _run(args, timer)
+
+
+def _run(args, timer):
     from mofa_tpu.apps.loaders import load_bundle, load_cmp_params, write_video
     from mofa_tpu.pipelines.keypoint import KeypointPipeline
     from mofa_tpu.preprocess.traj import preprocess_image
@@ -70,13 +77,15 @@ def run(args):
     flow_in = prepare_landmark_flow(landmarks[None], h, w)
     ldmk_imgs = draw_landmark_sequence(landmarks, h, w)
 
-    engine = LandmarkFlowEngine(load_cmp_params(args.cmp_ckpt))
+    with timer.phase("cmp_load"):
+        engine = LandmarkFlowEngine(load_cmp_params(args.cmp_ckpt))
     image_j = jnp.asarray(image)[None]
     image_384 = resize_nhwc(image_j, (384, 384))
     frames_384 = jnp.repeat(image_384[:, None], t - 1, axis=1)
-    flow = engine.get_cmp_flow_landmarks(
-        frames_384, jnp.asarray(flow_in["sparse_flow_384"]),
-        jnp.asarray(flow_in["mask_384"]), h, w)
+    with timer.phase("cmp_flow"):
+        flow = jax.block_until_ready(engine.get_cmp_flow_landmarks(
+            frames_384, jnp.asarray(flow_in["sparse_flow_384"]),
+            jnp.asarray(flow_in["mask_384"]), h, w))
 
     cfg_kw = {}
     if args.tiny:
@@ -85,23 +94,29 @@ def run(args):
         from mofa_tpu.models.clip_vision import TINY_CLIP_CONFIG
         cfg_kw = dict(unet_cfg=MICRO_UNET_CONFIG, vae_cfg=TINY_VAE_CONFIG,
                       clip_cfg=TINY_CLIP_CONFIG)
-    bundle = load_bundle(args.svd_dir, args.controlnet_dir, **cfg_kw, ldmk=True,
-                         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                         image_size=(h, w), num_frames=args.window_size)
+    with timer.phase("bundle_load"):
+        bundle = load_bundle(args.svd_dir, args.controlnet_dir, **cfg_kw,
+                             ldmk=True,
+                             dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                             image_size=(h, w), num_frames=args.window_size)
     mesh = None
     if args.frame_parallel:
         from mofa_tpu.core.mesh import make_mesh
         mesh = make_mesh(data=1, frames=len(jax.devices()))
     pipe = KeypointPipeline(bundle, mesh=mesh,
                             big_program=not args.small_programs)
-    frames, _ = pipe(image_j, flow, jnp.asarray(ldmk_imgs)[None],
-                     window_size=args.window_size, stride=args.stride,
-                     num_inference_steps=args.num_inference_steps,
-                     controlnet_cond_scale=args.ctrl_scale,
-                     decode_chunk_size=args.decode_chunk_size,
-                     key=jax.random.PRNGKey(args.seed),
-                     window_batch=args.window_batch)
-    write_video(np.asarray(frames)[0], args.output, fps=args.fps)
+    from mofa_tpu.apps.instrument import maybe_trace
+    with timer.phase("denoise_decode"), maybe_trace(args):
+        frames, _ = pipe(image_j, flow, jnp.asarray(ldmk_imgs)[None],
+                         window_size=args.window_size, stride=args.stride,
+                         num_inference_steps=args.num_inference_steps,
+                         controlnet_cond_scale=args.ctrl_scale,
+                         decode_chunk_size=args.decode_chunk_size,
+                         key=jax.random.PRNGKey(args.seed),
+                         window_batch=args.window_batch)
+        frames = jax.block_until_ready(frames)
+    with timer.phase("write"):
+        write_video(np.asarray(frames)[0], args.output, fps=args.fps)
     print(f"wrote {args.output} ({t} frames @ {h}x{w})")
     if args.panel_output:
         from mofa_tpu.apps.panels import keypoint_panel
