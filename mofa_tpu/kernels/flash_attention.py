@@ -33,14 +33,27 @@ _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
 
 
+# Clamp threshold for the fixed-max softmax (base-2 logits). exp2
+# saturates fp32 at 127; 100 leaves 2^28 of headroom for the key-sum
+# (L <= 2^28). Exact vs the running-max softmax whenever the true max
+# base-2 logit <= 100 (natural logit <= 69 — far beyond trained
+# attention's typical +-30); beyond that it saturates gracefully.
+_FIXED_MAX_CLAMP = 100.0
+
+
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                       block_k: int, l_actual: int, scale: float,
-                      masked: bool):
+                      masked: bool, fixed_max: bool = False):
     """Grid (B*H, num_q_blocks). q_ref [BQ, D]; k_ref/v_ref [Lpad, D]
     (whole sequence for this head in VMEM); o_ref [BQ, D]; lse_ref
     [BQ, 1]. Softmax runs in base 2: the log2(e) factor folds into the
     logit scale so exp2 (the VPU-native transcendental) replaces exp on
-    every [BQ, BK] tile."""
+    every [BQ, BK] tile.
+
+    fixed_max drops the online running max entirely (this kernel is
+    VPU-bound; the [BQ, BK] max-reduce and the acc rescale are pure VPU
+    passes): p = exp2(min(logits, clamp)) accumulates unnormalized, with
+    the clamp guarding fp32 exp2 overflow."""
     bq, d = q_ref.shape
     lpad = k_ref.shape[0]
     num_kb = lpad // block_k
@@ -75,6 +88,32 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
             preferred_element_type=jnp.float32)
         return acc, m_new, s_new
 
+    if fixed_max:
+        def body_fixed(kb, carry):
+            acc, s_prev = carry
+            k = k_ref[pl.ds(kb * block_k, block_k), :]
+            v = v_ref[pl.ds(kb * block_k, block_k), :]
+            logits = scale2 * jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if masked:
+                key_idx = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_k), 1)
+                logits = jnp.where(key_idx < l_actual, logits, NEG_INF)
+            p = jnp.exp2(jnp.minimum(logits, _FIXED_MAX_CLAMP))
+            s_new = s_prev + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc, s_new
+
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+        s0 = jnp.zeros((bq, 1), jnp.float32)
+        acc, s = jax.lax.fori_loop(0, num_kb, body_fixed, (acc0, s0))
+        o_ref[:] = (acc / s).astype(o_ref.dtype)
+        lse_ref[:] = (jnp.log2(s) * _LN2).astype(jnp.float32)
+        return
+
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     s0 = jnp.zeros((bq, 1), jnp.float32)
@@ -94,8 +133,9 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_fwd(q, k, v, block_q: int, block_k: int):
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
+                                             "fixed_max"))
+def _flash_fwd(q, k, v, block_q: int, block_k: int, fixed_max: bool = False):
     """q [B, Lq, H, D], k/v [B, Lk, H, D] -> (out [B, Lq, H, D],
     lse [B, H, Lq] fp32). Lq and Lk may differ (cross attention)."""
     b, l, h, d = q.shape
@@ -123,7 +163,7 @@ def _flash_fwd(q, k, v, block_q: int, block_k: int):
     grid = (b * h, lq_pad // block_q)
     kernel = functools.partial(_flash_fwd_kernel, block_k=block_k,
                                l_actual=lk, scale=scale,
-                               masked=lk != lk_pad)
+                               masked=lk != lk_pad, fixed_max=fixed_max)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -196,17 +236,27 @@ def _flash_bwd(block_q, block_k, res, g):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(q, k, v, block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K):
-    """[B, L, H, D] q/k/v -> [B, L, H, D]; fp32 online softmax."""
-    out, _ = _flash_fwd(q, k, v, block_q, block_k)
+                    block_k: int = DEFAULT_BLOCK_K,
+                    fixed_max: bool = False):
+    """[B, L, H, D] q/k/v -> [B, L, H, D]; fp32 online softmax.
+
+    fixed_max=True uses the clamped no-running-max softmax (see
+    _flash_fwd_kernel): numerically identical for natural logits <= 69,
+    saturating above. The lse it emits is the same quantity, so the
+    backward recompute is shared."""
+    out, _ = _flash_fwd(q, k, v, block_q, block_k, fixed_max)
     return out
 
 
-def _fwd_rule(q, k, v, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, block_q, block_k)
+def _fwd_rule(q, k, v, block_q, block_k, fixed_max):
+    out, lse = _flash_fwd(q, k, v, block_q, block_k, fixed_max)
     return out, (q, k, v, out, lse)
 
 
-flash_attention.defvjp(_fwd_rule, _flash_bwd)
+def _bwd_rule(block_q, block_k, fixed_max, res, g):
+    return _flash_bwd(block_q, block_k, res, g)
+
+
+flash_attention.defvjp(_fwd_rule, _bwd_rule)

@@ -46,6 +46,30 @@ def test_vjp_matches_naive():
                                    atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.parametrize("l", [256, 300])
+def test_fixed_max_matches_naive(l):
+    """Clamped no-running-max softmax: exact for logits far below the
+    clamp (these are), incl. the padded-tail mask and the VJP (the lse
+    it emits is the same log-sum-exp, so the backward is shared)."""
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, h, d = 2, 3, 64
+    q = jax.random.normal(kq, (b, l, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, l, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, l, h, d), jnp.float32)
+    out = flash_attention(q, k, v, 128, 128, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(naive(q, k, v)),
+                               atol=2e-5, rtol=2e-5)
+
+    g = jax.random.normal(kg, (b, l, h, d), jnp.float32)
+    _, vjp_fixed = jax.vjp(
+        lambda a, b_, c: flash_attention(a, b_, c, 128, 128, True), q, k, v)
+    _, vjp_naive = jax.vjp(naive, q, k, v)
+    for got, want in zip(vjp_fixed(g), vjp_naive(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4, rtol=5e-4)
+
+
 @pytest.mark.parametrize("shape", [(12, 7, 5, 64),   # SVD temporal, packs 3
                                    (7, 7, 5, 8),     # padding (7 % 3 != 0)
                                    (6, 25, 5, 16),   # 25-frame clip, nb=1

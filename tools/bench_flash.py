@@ -57,13 +57,17 @@ def main():
 
     for bq, bk in [(512, 1024), (512, 2048), (256, 2048), (512, 4608),
                    (768, 1024), (256, 4608), (512, 512), (1024, 512)]:
-        fn = lambda a, b_, c: flash_attention(a, b_, c, bq, bk)  # noqa: E731
-        ms, err = timeit(fn, (q, k, v), args.iters)
-        if ms is None:
-            print(f"bq={bq:5d} bk={bk:5d}  FAILED: {err}", flush=True)
-        else:
-            print(f"bq={bq:5d} bk={bk:5d}  {ms:7.2f} ms "
-                  f"({flops / ms / 1e9:.0f} GF/s)", flush=True)
+        for fixed in (False, True):
+            fn = lambda a, b_, c: flash_attention(  # noqa: E731
+                a, b_, c, bq, bk, fixed)
+            ms, err = timeit(fn, (q, k, v), args.iters)
+            tag = "fixed" if fixed else "run  "
+            if ms is None:
+                print(f"bq={bq:5d} bk={bk:5d} {tag}  FAILED: {err}",
+                      flush=True)
+            else:
+                print(f"bq={bq:5d} bk={bk:5d} {tag}  {ms:7.2f} ms "
+                      f"({flops / ms / 1e9:.0f} GF/s)", flush=True)
 
 
 if __name__ == "__main__":
