@@ -98,8 +98,17 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
                 # B*T/HW rarely divide the frame axis — so XLA it is.)
                 impl = "xla"
     if impl == "flash":
+        import os
         from mofa_tpu.kernels.flash_attention import flash_attention
-        return flash_attention(q, k, v)
+        # MOFA_FIXED_MAX_SOFTMAX=1 opts the whole model into the clamped
+        # no-running-max flash softmax (read at trace time; see
+        # kernels/flash_attention.py for the numerics contract)
+        fixed = os.environ.get("MOFA_FIXED_MAX_SOFTMAX", "") == "1"
+        from mofa_tpu.kernels.flash_attention import (DEFAULT_BLOCK_Q,
+                                                      DEFAULT_BLOCK_K)
+        # positional: custom_vjp + nondiff_argnums rejects kwargs
+        return flash_attention(q, k, v, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                               fixed)
     if impl == "xla":
         return jax.nn.dot_product_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
