@@ -26,7 +26,30 @@ def _log(msg):
     if os.environ.get("BENCH_VERBOSE"):
         print(msg, file=sys.stderr, flush=True)
 
+def _tunnel_reachable(host="127.0.0.1", port=8083, timeout=3.0):
+    """Fast probe of the axon TPU tunnel's HTTP side.
+
+    When the tunnel is fully down (connection refused), TPU backend init
+    raises UNAVAILABLE only after ~20 min — far too slow for the driver's
+    bench run. A TCP connect distinguishes that mode in milliseconds. A
+    *wedged* tunnel (HTTP answers, claim path hangs) is indistinguishable
+    here; the driver's own timeout covers that.
+    """
+    import socket
+    try:
+        with socket.create_connection((host, port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
 import jax
+
+if not _tunnel_reachable():
+    # force CPU BEFORE backend init; env vars alone do not override axon
+    jax.config.update("jax_platforms", "cpu")
+    _log("TPU tunnel unreachable — forcing CPU smoke mode")
+
 import jax.numpy as jnp
 
 H, W = 576, 1024
