@@ -26,7 +26,7 @@ def _log(msg):
     if os.environ.get("BENCH_VERBOSE"):
         print(msg, file=sys.stderr, flush=True)
 
-def _tunnel_reachable(host="127.0.0.1", port=8083, timeout=3.0):
+def _tunnel_reachable(host, port, timeout=3.0):
     """Fast probe of the axon TPU tunnel's HTTP side.
 
     When the tunnel is fully down (connection refused), TPU backend init
@@ -43,13 +43,32 @@ def _tunnel_reachable(host="127.0.0.1", port=8083, timeout=3.0):
         return False
 
 
+def _maybe_force_cpu():
+    """Probe the TPU tunnel and demote to CPU if it is down.
+
+    Runs inside main() (no import side effects) but BEFORE any jax backend
+    init. Skipped entirely when the caller pinned a platform via
+    JAX_PLATFORMS. Tunnel endpoint override: AXON_TUNNEL_ADDR=host:port.
+    """
+    explicit = os.environ.get("JAX_PLATFORMS")
+    if explicit:
+        # axon force-registers the tunneled TPU and IGNORES the env var
+        # (CLAUDE.md); honor the caller's choice via the config knob, which
+        # does override axon when applied before backend init.
+        jax.config.update("jax_platforms", explicit)
+        return
+    addr = os.environ.get("AXON_TUNNEL_ADDR", "127.0.0.1:8083")
+    host, _, port = addr.rpartition(":")
+    host, port = host or "127.0.0.1", int(port)
+    # retry once: a 3 s TCP timeout under load / mid-restart is transient
+    if not (_tunnel_reachable(host, port) or _tunnel_reachable(host, port)):
+        # force CPU BEFORE backend init; env vars alone do not override axon
+        jax.config.update("jax_platforms", "cpu")
+        print(f"bench.py: TPU tunnel {host}:{port} unreachable — "
+              "forcing CPU smoke mode", file=sys.stderr, flush=True)
+
+
 import jax
-
-if not _tunnel_reachable():
-    # force CPU BEFORE backend init; env vars alone do not override axon
-    jax.config.update("jax_platforms", "cpu")
-    _log("TPU tunnel unreachable — forcing CPU smoke mode")
-
 import jax.numpy as jnp
 
 H, W = 576, 1024
@@ -59,6 +78,7 @@ TARGET_FPS_PER_CHIP = 25.0 / 20.0 / 8.0  # north-star: 25f < 20s on v5e-8
 
 
 def main():
+    _maybe_force_cpu()
     from mofa_tpu.models.svd_unet import SVDUNetConfig, MICRO_UNET_CONFIG
     from mofa_tpu.ops.euler import make_euler_schedule, scale_model_input, euler_step
 
