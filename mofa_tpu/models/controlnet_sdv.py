@@ -93,6 +93,11 @@ class ControlNetTrunk(nn.Module):
             x = x + inject_features[0].astype(x.dtype)
             count = 1
 
+        # The trunk's head counts come from ControlNetSDVModel's defaults
+        # ((5, 10, 10, 20)), NOT the UNet checkpoint's (5, 10, 20, 20):
+        # FlowControlNet.__init__ never forwards its args to super()
+        # (svdxt...norefine.py:213, controlnet_sdv.py:180).
+        heads = cfg.controlnet_num_attention_heads
         down_block_res_samples = (x,)
         for i, bt in enumerate(cfg.down_block_types):
             out_ch = cfg.block_out_channels[i]
@@ -100,7 +105,7 @@ class ControlNetTrunk(nn.Module):
             if bt == "CrossAttnDownBlockSpatioTemporal":
                 x, res = maybe_remat(CrossAttnDownBlockSpatioTemporal,
                                      self.remat_blocks)(
-                    out_ch, cfg.num_attention_heads[i], cfg.layers_per_block,
+                    out_ch, heads[i], cfg.layers_per_block,
                     cfg.transformer_layers_per_block, cfg.cross_attention_dim,
                     add_downsample=not is_final, name=f"down_blocks_{i}",
                 )(x, emb, ehs, image_only_indicator)
@@ -119,7 +124,7 @@ class ControlNetTrunk(nn.Module):
             x = x + inject_features[-1].astype(x.dtype)
 
         x = maybe_remat(UNetMidBlockSpatioTemporal, self.remat_blocks)(
-            cfg.block_out_channels[-1], cfg.num_attention_heads[-1],
+            cfg.block_out_channels[-1], heads[-1],
             cfg.transformer_layers_per_block, cfg.cross_attention_dim,
             name="mid_block")(x, emb, ehs, image_only_indicator)
 

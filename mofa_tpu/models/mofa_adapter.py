@@ -37,9 +37,15 @@ from mofa_tpu.ops.resize import resize_nhwc
 
 class FirstFrameEncoder(nn.Module):
     """Pyramid encoder of the /8 cond embedding: stride-2 conv+silu per level
-    with zero-init 1x1 output convs (svdxt...norefine.py:104-155)."""
+    with zero-init 1x1 output convs (svdxt...norefine.py:104-155).
+
+    The LANDMARK adapter's copy of this encoder has the zeroconvs commented
+    out (ldmk_ctrlnet.py:145,155-160) and returns the raw conv features —
+    use_zeroconv=False reproduces that variant (and its checkpoint keys).
+    """
 
     channels: tuple = (320, 640, 1280)
+    use_zeroconv: bool = True
 
     @nn.compact
     def __call__(self, feature):
@@ -47,7 +53,11 @@ class FirstFrameEncoder(nn.Module):
         for i, ch in enumerate(self.channels):
             feature = Conv(ch, 3, stride=2, name=f"encoders_{i}_conv_in")(feature)
             feature = nn.silu(feature)
-            outs.append(Conv(ch, 1, zero_init=True, name=f"zeroconvs_{i}")(feature))
+            if self.use_zeroconv:
+                outs.append(Conv(ch, 1, zero_init=True,
+                                 name=f"zeroconvs_{i}")(feature))
+            else:
+                outs.append(feature)
         return outs
 
 
@@ -126,8 +136,11 @@ class LdmkFlowControlNet(nn.Module):
             c0, self.conditioning_embedding_out_channels)
         self.controlnet_ldmk_embedding = ControlNetConditioningEmbeddingSVD(
             c0, (16, 32, 64, 128))
+        # ldmk variant: raw encoder features, zeroconvs commented out in the
+        # reference (ldmk_ctrlnet.py:145)
         self.flow_encoder = FirstFrameEncoder(
-            (c0,) + tuple(self.cfg.block_out_channels[1:3]))
+            (c0,) + tuple(self.cfg.block_out_channels[1:3]),
+            use_zeroconv=False)
         chans = {8: c0, 16: c0, 32: self.cfg.block_out_channels[1],
                  64: self.cfg.block_out_channels[2]}
         self.occlusions = {str(s): ForegroundMatting(chans[s], name=f"occlusions_{s}")

@@ -53,6 +53,13 @@ class SVDUNetConfig:
     cross_attention_dim: int = 1024
     transformer_layers_per_block: int = 1
     num_attention_heads: Tuple[int, ...] = (5, 10, 20, 20)
+    # The reference ControlNet trunk runs DIFFERENT head counts than the
+    # UNet: FlowControlNet.__init__ calls super().__init__() with no args
+    # (svdxt...norefine.py:213), so the trunk gets ControlNetSDVModel's
+    # defaults (5, 10, 10, 20) (controlnet_sdv.py:180) while the frozen
+    # SVD-XT UNet checkpoint config has (5, 10, 20, 20). Head count does
+    # not change param shapes but DOES change attention outputs.
+    controlnet_num_attention_heads: Tuple[int, ...] = (5, 10, 10, 20)
     num_frames: int = 25
 
     @property
@@ -63,6 +70,7 @@ class SVDUNetConfig:
 TINY_UNET_CONFIG = SVDUNetConfig(
     block_out_channels=(32, 64, 64, 64),
     num_attention_heads=(2, 4, 4, 4),
+    controlnet_num_attention_heads=(2, 4, 2, 4),  # keep the quirk exercised
     cross_attention_dim=32,
     addition_time_embed_dim=8,
     projection_class_embeddings_input_dim=24,
@@ -73,6 +81,7 @@ TINY_UNET_CONFIG = SVDUNetConfig(
 MICRO_UNET_CONFIG = SVDUNetConfig(
     block_out_channels=(32, 64, 64, 64),
     num_attention_heads=(2, 4, 4, 4),
+    controlnet_num_attention_heads=(2, 4, 2, 4),
     cross_attention_dim=32,
     addition_time_embed_dim=8,
     projection_class_embeddings_input_dim=24,

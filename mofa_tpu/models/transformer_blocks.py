@@ -78,6 +78,14 @@ class TransformerSpatioTemporalModel(nn.Module):
     dim_head: int
     num_layers: int = 1
     cross_attention_dim: Optional[int] = 1024
+    # diffusers-0.24 TransformerSpatioTemporalModel.forward builds the
+    # temporal cross-attn context HW-major — `tc[None, :].broadcast_to(
+    # (H*W, B, 1, D)).reshape(H*W*B, 1, D)` — while the temporal block's
+    # hidden rows are batch-major (B*HW). For B>1 (the CFG batch!) row r of
+    # the hidden states therefore attends to context (hw=r//B, b=r%B), NOT
+    # its own batch element: the uncond half sees cond CLIP tokens on every
+    # odd spatial token. Replicated by default for reference parity.
+    time_context_hw_major_quirk: bool = True
 
     @nn.compact
     def __call__(self, x, encoder_hidden_states, image_only_indicator):
@@ -88,8 +96,15 @@ class TransformerSpatioTemporalModel(nn.Module):
 
         # temporal cross-attn context = first frame's CLIP tokens per spatial pos
         tc = encoder_hidden_states.reshape(bsz, num_frames, -1, encoder_hidden_states.shape[-1])[:, 0]
-        time_context = jnp.broadcast_to(tc[:, None], (bsz, h * w) + tc.shape[1:])
-        time_context = time_context.reshape(bsz * h * w, *tc.shape[1:])
+        if self.time_context_hw_major_quirk:
+            # [B, S, D] -> [H*W, B, 1, D] -> [H*W*B, 1, D] (S collapses to 1
+            # exactly as the reference broadcast does; SVD always has S=1)
+            time_context = jnp.broadcast_to(
+                tc[None, :, :1], (h * w, bsz, 1, tc.shape[-1]))
+            time_context = time_context.reshape(h * w * bsz, 1, tc.shape[-1])
+        else:
+            time_context = jnp.broadcast_to(tc[:, None], (bsz, h * w) + tc.shape[1:])
+            time_context = time_context.reshape(bsz * h * w, *tc.shape[1:])
 
         residual = x
         x = GroupNorm(32, 1e-6, name="norm")(x)

@@ -88,7 +88,9 @@ class UpBlockSpatioTemporal(nn.Module):
         for i in range(self.num_layers):
             res = res_samples[-1 - i]
             x = jnp.concatenate([x, res], axis=-1)
-            x = SpatioTemporalResBlock(self.out_channels, eps=1e-5,
+            # diffusers UpBlockSpatioTemporal defaults resnet_eps=1e-6
+            # (unlike DownBlockSpatioTemporal's hardcoded 1e-5)
+            x = SpatioTemporalResBlock(self.out_channels, eps=1e-6,
                                        name=f"resnets_{i}")(x, temb, image_only_indicator)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, name="upsamplers_0")(x)

@@ -411,6 +411,36 @@ def convert_sadtalker_pose(flax_params: dict, torch_sd: Dict[str, np.ndarray],
     return params
 
 
+def convert_flow_controlnet_state_dict(flax_params: dict,
+                                       torch_sd: Dict[str, np.ndarray],
+                                       strict: bool = True) -> dict:
+    """FlowControlNet (MOFA-Adapter) torch/safetensors state dict -> our
+    mofa_adapter.FlowControlNet tree.
+
+    The reference model is flat (conv_in/time_embedding/down_blocks/
+    mid_block/controlnet_* live directly on FlowControlNet,
+    svdxt...norefine.py:180-213); our Flax module nests the shared
+    ControlNetSDV trunk under `trunk` with only the MOFA-specific
+    conditioning/flow encoders at top level. Landmark-adapter extras
+    (controlnet_ldmk_embedding, occlusions_*, zero_outs_*,
+    ldmk_ctrlnet.py:232-254) are also top-level in both."""
+    _TOP_LEVEL = ("controlnet_cond_embedding.", "flow_encoder.",
+                  "controlnet_ldmk_embedding.", "occlusions.", "zero_outs.")
+    remapped = {}
+    for k, v in torch_sd.items():
+        k = re.sub(r"^(module\.)+", "", k)
+        if k.startswith("occlusions.") or k.startswith("zero_outs."):
+            # reference nn.ModuleDict keyed by scale -> our flat names
+            k = re.sub(r"^(occlusions|zero_outs)\.(\d+)\.", r"\1_\2.", k)
+            remapped[k] = v
+            continue
+        if any(k.startswith(p) for p in _TOP_LEVEL):
+            remapped[k] = v
+        else:
+            remapped["trunk." + k] = v
+    return convert_torch_state_dict(flax_params, remapped, strict=strict)
+
+
 def init_adapter_from_unet(cn_params: dict, unet_params: dict) -> dict:
     """FlowControlNet.from_unet weight copy (controlnet_sdv.py:617-627):
     conv_in, time_embedding, down_blocks and mid_block are copied from the
@@ -589,6 +619,73 @@ def convert_pirender_state_dict(flax_params: dict,
             k = k[: -len("weight")] + "kernel"
         elif k.endswith(".weight") and v.ndim == 3 and v.shape[1:] == (1, 1):
             v = v.reshape(-1)  # LayerNorm2d affine [C,1,1]
+        remapped[k] = v
+    return convert_torch_state_dict(flax_params, remapped, strict=strict)
+
+
+# ----------------------------------------------------------------- gfpgan
+
+def convert_gfpgan_state_dict(flax_params: dict,
+                              torch_sd: Dict[str, np.ndarray],
+                              strict: bool = True) -> dict:
+    """GFPGANv1.4.pth ({'params_ema': ...} or flat) -> models/gfpgan tree.
+
+    Special cases beyond the generic rules:
+    - ModulatedConv2d weight [1, O, I, k, k] -> squeeze -> generic HWIO
+    - StyleConv noise-strength scalar `.weight` [1] -> `noise_strength`
+    - stored noise buffers noises.noise{i} [1,1,r,r] -> [1,r,r,1]
+    - ConstantInput weight [1,C,4,4] -> [1,4,4,C]
+    """
+    for wrap in ("params_ema", "params"):
+        if wrap in torch_sd and isinstance(torch_sd[wrap], dict):
+            torch_sd = torch_sd[wrap]
+    raw = {}
+    remapped = {}
+    for k, v in torch_sd.items():
+        k = re.sub(r"^(module\.)+", "", k)
+        v = _to_numpy(v)
+        if re.search(r"modulated_conv\.weight$", k):
+            remapped[k] = v.reshape(v.shape[1:])        # drop leading 1
+            continue
+        if re.search(r"(style_conv1|style_convs\.\d+)\.weight$", k):
+            remapped[k.replace(".weight", ".noise_strength")] = v
+            continue
+        m = re.match(r"(.*)\.noises\.(noise\d+)$", k)
+        if m:
+            raw[f"{m.group(1)}.noises_{m.group(2)}"] = v.transpose(0, 2, 3, 1)
+            continue
+        if k.endswith("constant_input.weight"):
+            raw[k.replace("constant_input.weight", "constant_input_weight")] \
+                = v.transpose(0, 2, 3, 1)
+            continue
+        remapped[k] = v
+    params = convert_torch_state_dict(flax_params, remapped, strict=strict)
+    root = params["params"] if "params" in params else params
+    for key, val in raw.items():
+        node = root
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node[part]
+        assert node[parts[-1]].shape == val.shape, (key, val.shape,
+                                                    node[parts[-1]].shape)
+        node[parts[-1]] = val.astype(np.asarray(node[parts[-1]]).dtype)
+    return params
+
+
+# ----------------------------------------------------------------- awing FAN
+
+def convert_fan_state_dict(flax_params: dict, torch_sd: Dict[str, np.ndarray],
+                           strict: bool = True) -> dict:
+    """facexlib `alignment_WFLW_4HG.pth` ({'state_dict': ...}) -> our
+    models/face_alignment.FAN tree. Only the ConvBlock shortcut Sequential
+    needs renaming; everything else is the generic rule set."""
+    remapped = {}
+    for k, v in torch_sd.items():
+        k = re.sub(r"^(module\.)+", "", k)
+        if "num_batches_tracked" in k:
+            continue
+        k = k.replace(".downsample.0.", ".downsample_bn.")
+        k = k.replace(".downsample.2.", ".downsample_conv.")
         remapped[k] = v
     return convert_torch_state_dict(flax_params, remapped, strict=strict)
 
