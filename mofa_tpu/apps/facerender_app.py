@@ -40,6 +40,26 @@ def build_parser():
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--tiny", action="store_true",
                    help="micro config smoke run (no real weights)")
+    # post-processing half of the reference facerender path
+    # (sadtalker_audio2pose/src/utils/paste_pic.py + face_enhancer.py)
+    p.add_argument("--enhancer", default="none",
+                   choices=["none", "gfpgan", "npz"],
+                   help="face-enhancer stage: in-framework GFPGAN v1 clean "
+                        "(models/gfpgan.py, aligned-crop mode) or external "
+                        "npz frames")
+    p.add_argument("--gfpgan_ckpt", default=None,
+                   help="GFPGANv1.4.pth for --enhancer gfpgan")
+    p.add_argument("--enhanced_npz", default=None,
+                   help="npz with {'frames': uint8 [T,H,W,3]} from an "
+                        "external enhancer")
+    p.add_argument("--paste_back", action="store_true",
+                   help="seamless-clone the rendered crop back into the "
+                        "full source image (paste_pic.py semantics)")
+    p.add_argument("--full_image", default=None,
+                   help="full-resolution source image for --paste_back")
+    p.add_argument("--crop_info_npz", default=None,
+                   help="npz with 'crop_info' = [rw,rh, clx,cly,crx,cry, "
+                        "lx,ly,rx,ry] (the face_fit_app crop output)")
     return p
 
 
@@ -91,8 +111,25 @@ def run(args):
     frames = fr.make_animation(source, jnp.asarray(src_sem),
                                jnp.asarray(tgt_sem), gen, gen_params,
                                kp, kp_params, mapping, map_params)
-    write_video(np.asarray(frames)[0], args.output, fps=args.fps)
-    print(f"wrote {args.output} ({frames.shape[1]} frames @ {size}x{size})")
+    out = np.asarray(frames)[0]
+    out8 = (np.clip(out, 0, 1) * 255).astype(np.uint8)
+
+    from mofa_tpu.preprocess.enhance import enhance_frames, paste_back_frames
+    out8 = enhance_frames(out8, method=args.enhancer,
+                          npz_path=args.enhanced_npz,
+                          ckpt=args.gfpgan_ckpt, tiny=args.tiny)
+    if args.paste_back:
+        if not (args.full_image and args.crop_info_npz):
+            raise SystemExit("--paste_back needs --full_image and "
+                             "--crop_info_npz")
+        full = np.asarray(Image.open(args.full_image).convert("RGB"))
+        ci = np.load(args.crop_info_npz)["crop_info"].astype(np.int64)
+        crop_info = (tuple(ci[0:2]), tuple(ci[2:6]), tuple(ci[6:10]))
+        out8 = paste_back_frames(out8, full, crop_info)
+
+    write_video(out8.astype(np.float32) / 255.0, args.output, fps=args.fps)
+    print(f"wrote {args.output} ({out8.shape[0]} frames "
+          f"@ {out8.shape[2]}x{out8.shape[1]})")
 
 
 def main(argv=None):
