@@ -22,8 +22,19 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser(description="MOFA-TPU 3DMM fit")
     p.add_argument("--image", required=True)
-    p.add_argument("--kp", required=True,
-                   help="[68, 2] keypoints (.npy or whitespace .txt)")
+    p.add_argument("--kp", default=None,
+                   help="[68, 2] keypoints (.npy or whitespace .txt); "
+                        "omit to detect in-framework with --fan_ckpt")
+    p.add_argument("--fan_ckpt", default=None,
+                   help="facexlib alignment_WFLW_4HG.pth — run the "
+                        "in-framework AWing FAN (models/face_alignment.py) "
+                        "instead of external --kp")
+    p.add_argument("--bbox", default=None,
+                   help="face box 'x1,y1,x2,y2' for the FAN crop (the "
+                        "retinaface detection stage stays external; "
+                        "defaults to the full image)")
+    p.add_argument("--fan_tiny", action="store_true",
+                   help="1-module random-weight FAN (tests only)")
     p.add_argument("--lm3d_mat", required=True,
                    help="similarity_Lm3D_all.mat (BFM fitting dir)")
     p.add_argument("--ckpt", default=None,
@@ -32,6 +43,35 @@ def build_parser():
     p.add_argument("--pic_size", type=int, default=256)
     p.add_argument("--tiny", action="store_true")
     return p
+
+
+def _detect_kp(args, img_rgb: np.ndarray) -> np.ndarray:
+    """In-framework 68-pt detection: crop to --bbox, AWing FAN 98-pt,
+    98->68 map, uncrop — the extract_kp_videos_safe.py:64-77 chain with
+    the retinaface box supplied externally."""
+    from mofa_tpu.models.face_alignment import (FAN, get_landmarks,
+                                                landmark_98_to_68)
+    from mofa_tpu.models.weights import convert_fan_state_dict, \
+        load_torch_checkpoint
+
+    h, w = img_rgb.shape[:2]
+    if args.bbox:
+        x1, y1, x2, y2 = [int(v) for v in args.bbox.split(",")]
+    else:
+        x1, y1, x2, y2 = 0, 0, w, h
+    crop = img_rgb[y1:y2, x1:x2]
+
+    net = FAN(num_modules=1) if args.fan_tiny else FAN()
+    params = net.init(jax.random.PRNGKey(0),
+                      np.zeros((1, 256, 256, 3), np.float32))
+    if args.fan_ckpt:
+        params = convert_fan_state_dict(params,
+                                        load_torch_checkpoint(args.fan_ckpt))
+    lm98 = get_landmarks(net.apply, params, crop)
+    kp = landmark_98_to_68(lm98)
+    kp[:, 0] += x1
+    kp[:, 1] += y1
+    return kp.astype(np.float32)
 
 
 def run(args):
@@ -44,8 +84,13 @@ def run(args):
 
     img = Image.open(args.image).convert("RGB")
     img = img.resize((args.pic_size, args.pic_size), Image.BILINEAR)
-    kp = (np.load(args.kp) if args.kp.endswith(".npy")
-          else np.loadtxt(args.kp)).reshape(-1, 2).astype(np.float32)
+    if args.kp:
+        kp = (np.load(args.kp) if args.kp.endswith(".npy")
+              else np.loadtxt(args.kp)).reshape(-1, 2).astype(np.float32)
+    elif args.fan_ckpt or args.fan_tiny:
+        kp = _detect_kp(args, np.asarray(img))
+    else:
+        raise SystemExit("need --kp or --fan_ckpt/--fan_tiny")
     lm3d = load_lm3d(args.lm3d_mat)
 
     net = ReconNet(layers=(1, 1, 1, 1), width=8) if args.tiny else ReconNet()
