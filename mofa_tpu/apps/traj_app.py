@@ -39,6 +39,10 @@ def build_parser():
     p.add_argument("--decode_chunk_size", type=int, default=8)
     p.add_argument("--frame_parallel", action="store_true",
                    help="shard the denoise over all devices' frames axis")
+    p.add_argument("--cfg_split", action="store_true",
+                   help="sequential CFG halves: half peak HBM (fits 25f "
+                        "576x1024 on one 16GB chip); corrected (quirk-free) "
+                        "temporal cross-attn context")
     p.add_argument("--tiny", action="store_true",
                    help="micro model configs (smoke tests; no real weights)")
     from mofa_tpu.apps.instrument import add_observability_args
@@ -135,7 +139,8 @@ def _run(args, timer):
                          max_guidance_scale=args.max_guidance,
                          controlnet_cond_scale=args.ctrl_scale,
                          decode_chunk_size=args.decode_chunk_size,
-                         key=jax.random.PRNGKey(args.seed))
+                         key=jax.random.PRNGKey(args.seed),
+                         cfg_split=args.cfg_split)
         frames = jax.block_until_ready(frames)
     with timer.phase("write"):
         write_video(np.asarray(frames)[0], args.output, fps=args.fps)

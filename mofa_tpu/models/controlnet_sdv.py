@@ -107,7 +107,9 @@ class ControlNetTrunk(nn.Module):
                                      self.remat_blocks)(
                     out_ch, heads[i], cfg.layers_per_block,
                     cfg.transformer_layers_per_block, cfg.cross_attention_dim,
-                    add_downsample=not is_final, name=f"down_blocks_{i}",
+                    add_downsample=not is_final,
+                    time_context_hw_major_quirk=cfg.time_context_hw_major_quirk,
+                    name=f"down_blocks_{i}",
                 )(x, emb, ehs, image_only_indicator)
             else:
                 x, res = maybe_remat(DownBlockSpatioTemporal,
@@ -126,6 +128,7 @@ class ControlNetTrunk(nn.Module):
         x = maybe_remat(UNetMidBlockSpatioTemporal, self.remat_blocks)(
             cfg.block_out_channels[-1], heads[-1],
             cfg.transformer_layers_per_block, cfg.cross_attention_dim,
+            time_context_hw_major_quirk=cfg.time_context_hw_major_quirk,
             name="mid_block")(x, emb, ehs, image_only_indicator)
 
         ctrl_residuals = []

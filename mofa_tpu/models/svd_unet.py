@@ -60,6 +60,11 @@ class SVDUNetConfig:
     # SVD-XT UNet checkpoint config has (5, 10, 20, 20). Head count does
     # not change param shapes but DOES change attention outputs.
     controlnet_num_attention_heads: Tuple[int, ...] = (5, 10, 10, 20)
+    # diffusers-0.24 builds the temporal cross-attn context HW-major,
+    # cross-contaminating CFG batch rows (see transformer_blocks.py).
+    # Default-on for reference parity; False gives the corrected batch-major
+    # context (required for exact cfg_split equivalence in the pipelines).
+    time_context_hw_major_quirk: bool = True
     num_frames: int = 25
 
     @property
@@ -168,7 +173,9 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                                      self.remat_blocks)(
                     out_ch, cfg.num_attention_heads[i], cfg.layers_per_block,
                     cfg.transformer_layers_per_block, cfg.cross_attention_dim,
-                    add_downsample=not is_final, name=f"down_blocks_{i}",
+                    add_downsample=not is_final,
+                    time_context_hw_major_quirk=cfg.time_context_hw_major_quirk,
+                    name=f"down_blocks_{i}",
                 )(x, emb, ehs, image_only_indicator)
             else:
                 x, res = maybe_remat(DownBlockSpatioTemporal,
@@ -189,6 +196,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         x = maybe_remat(UNetMidBlockSpatioTemporal, self.remat_blocks)(
             cfg.block_out_channels[-1], cfg.num_attention_heads[-1],
             cfg.transformer_layers_per_block, cfg.cross_attention_dim,
+            time_context_hw_major_quirk=cfg.time_context_hw_major_quirk,
             name="mid_block")(x, emb, ehs, image_only_indicator)
         if mid_block_additional_residual is not None:
             x = x + mid_block_additional_residual.astype(x.dtype)
@@ -207,7 +215,9 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                                 self.remat_blocks)(
                     out_ch, heads_rev[i], num_layers,
                     cfg.transformer_layers_per_block, cfg.cross_attention_dim,
-                    add_upsample=not is_final, name=f"up_blocks_{i}",
+                    add_upsample=not is_final,
+                    time_context_hw_major_quirk=cfg.time_context_hw_major_quirk,
+                    name=f"up_blocks_{i}",
                 )(x, res, emb, ehs, image_only_indicator)
             else:
                 x = maybe_remat(UpBlockSpatioTemporal, self.remat_blocks)(

@@ -96,7 +96,31 @@ class TransformerSpatioTemporalModel(nn.Module):
 
         # temporal cross-attn context = first frame's CLIP tokens per spatial pos
         tc = encoder_hidden_states.reshape(bsz, num_frames, -1, encoder_hidden_states.shape[-1])[:, 0]
-        if self.time_context_hw_major_quirk:
+        if self.time_context_hw_major_quirk and bsz % 2 == 0:
+            # PAIRWISE quirk semantics. The reference only ever runs the
+            # quirk at B=2 (one CFG pair); for it, hidden row (b2, hw)
+            # reads context side (b2*HW + hw) % 2 of that pair. When this
+            # framework stacks several CFG pairs on the batch axis
+            # (keypoint --window_batch groups windows CFG-major as
+            # [uncond_0..uncond_{V-1}, cond_0..cond_{V-1}]), applying the
+            # raw HW-major reshape at the ACTUAL batch would cross-
+            # contaminate *windows* — something the reference never does.
+            # Instead each pair (v, half+v) gets exactly the reference's
+            # B=2 misalignment: bit-identical at B=2, and window-batched
+            # denoising stays exactly equal to the window-at-a-time scan.
+            half = bsz // 2
+            tcs = tc[:, 0]                          # [B, D] (S=1, as ref :1)
+            tc2 = tcs.reshape(2, half, -1)
+            sides = jnp.arange(bsz) // half         # CFG side per batch row
+            vs = jnp.arange(bsz) % half             # pair (window) index
+            hw_idx = jnp.arange(h * w)
+            sel = (sides[:, None] * (h * w) + hw_idx[None, :]) % 2  # [B, HW]
+            ctx = jnp.where(sel[..., None] == 0,
+                            tc2[0][vs][:, None, :], tc2[1][vs][:, None, :])
+            time_context = ctx.reshape(bsz * h * w, 1, tcs.shape[-1])
+        elif self.time_context_hw_major_quirk:
+            # odd batch: the raw reference indexing (for B=1 it reduces to
+            # the batch-major no-quirk layout)
             # [B, S, D] -> [H*W, B, 1, D] -> [H*W*B, 1, D] (S collapses to 1
             # exactly as the reference broadcast does; SVD always has S=1)
             time_context = jnp.broadcast_to(

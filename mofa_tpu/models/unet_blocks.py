@@ -39,6 +39,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
     transformer_layers: int = 1
     cross_attention_dim: int = 1024
     add_downsample: bool = True
+    time_context_hw_major_quirk: bool = True
 
     @nn.compact
     def __call__(self, x, temb, encoder_hidden_states, image_only_indicator):
@@ -49,6 +50,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
                                        name=f"resnets_{i}")(x, temb, image_only_indicator)
             x = TransformerSpatioTemporalModel(
                 self.heads, dim_head, self.transformer_layers, self.cross_attention_dim,
+                time_context_hw_major_quirk=self.time_context_hw_major_quirk,
                 name=f"attentions_{i}")(x, encoder_hidden_states, image_only_indicator)
             outputs.append(x)
         if self.add_downsample:
@@ -62,6 +64,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
     heads: int
     transformer_layers: int = 1
     cross_attention_dim: int = 1024
+    time_context_hw_major_quirk: bool = True
 
     @nn.compact
     def __call__(self, x, temb, encoder_hidden_states, image_only_indicator):
@@ -70,6 +73,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
                                    name="resnets_0")(x, temb, image_only_indicator)
         x = TransformerSpatioTemporalModel(
             self.heads, dim_head, self.transformer_layers, self.cross_attention_dim,
+            time_context_hw_major_quirk=self.time_context_hw_major_quirk,
             name="attentions_0")(x, encoder_hidden_states, image_only_indicator)
         x = SpatioTemporalResBlock(self.channels, eps=1e-5,
                                    name="resnets_1")(x, temb, image_only_indicator)
@@ -104,6 +108,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
     transformer_layers: int = 1
     cross_attention_dim: int = 1024
     add_upsample: bool = True
+    time_context_hw_major_quirk: bool = True
 
     @nn.compact
     def __call__(self, x, res_samples, temb, encoder_hidden_states, image_only_indicator):
@@ -117,6 +122,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
                                        name=f"resnets_{i}")(x, temb, image_only_indicator)
             x = TransformerSpatioTemporalModel(
                 self.heads, dim_head, self.transformer_layers, self.cross_attention_dim,
+                time_context_hw_major_quirk=self.time_context_hw_major_quirk,
                 name=f"attentions_{i}")(x, encoder_hidden_states, image_only_indicator)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, name="upsamplers_0")(x)

@@ -9,6 +9,7 @@ channel-last; frames layout [B, T, H, W, C].
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -72,32 +73,63 @@ class ModelBundle:
                    clip_params, cn2, cn2_params)
 
 
-def encode_clip_image(bundle: ModelBundle, image01: jnp.ndarray,
-                      do_cfg: bool) -> jnp.ndarray:
-    """[B, H, W, 3] in [0,1] -> [2B or B, 1, proj_dim].
+def params_dtype(params) -> jnp.dtype:
+    """Compute dtype implied by a param tree (first floating leaf).
 
-    Replicates the reference quirk of feeding un-normalized [0,1] pixels
-    through antialiased bicubic resize (pipeline.py:114-133).
-    """
-    size = bundle.clip.cfg.image_size
+    The denoise bodies keep the latent scan-carry and the Euler update in
+    fp32 for integration accuracy but must cast MODEL inputs to the
+    parameter dtype: flax promotes `bf16 params x fp32 input` to fp32
+    compute, so an uncast fp32 latent would silently run the whole UNet
+    off the bf16 MXU path (2-3x slower, 2x activation HBM). Mirrors the
+    reference's fp16 autocast boundary (pipeline.py:446-511 runs the
+    model fp16 while scheduler math stays fp32)."""
+    for leaf in jax.tree_util.tree_leaves(params):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.dtype
+    return jnp.float32
+
+
+@functools.partial(jax.jit, static_argnames=("clip", "do_cfg"))
+def _encode_clip_jit(clip, clip_params, image01, do_cfg):
+    size = clip.cfg.image_size
     x = jnp.moveaxis(image01, -1, 1)              # to NCHW for hw resize
     x = resize_antialias_hw(x, (size, size))
     x = jnp.moveaxis(x, 1, -1)
-    emb = bundle.clip.apply(bundle.clip_params, x)[:, None, :]  # [B, 1, D]
+    x = x.astype(params_dtype(clip_params))
+    emb = clip.apply(clip_params, x)[:, None, :]  # [B, 1, D]
     if do_cfg:
         emb = jnp.concatenate([jnp.zeros_like(emb), emb], axis=0)
     return emb
 
 
-def encode_vae_image(bundle: ModelBundle, image_pm1: jnp.ndarray,
-                     do_cfg: bool) -> jnp.ndarray:
-    """[B, H, W, 3] in [-1,1] -> latent mean [2B or B, h, w, 4] (UNSCALED,
-    matching pipeline.py:143-163)."""
-    lat = bundle.vae.apply(bundle.vae_params, image_pm1,
-                           method=AutoencoderKLTemporalDecoder.encode_mode)
+def encode_clip_image(bundle: ModelBundle, image01: jnp.ndarray,
+                      do_cfg: bool) -> jnp.ndarray:
+    """[B, H, W, 3] in [0,1] -> [2B or B, 1, proj_dim].
+
+    Replicates the reference quirk of feeding un-normalized [0,1] pixels
+    through antialiased bicubic resize (pipeline.py:114-133). Runs as ONE
+    module-level jit program: eagerly dispatching the ~hundreds of CLIP
+    ops costs ~9 s/video over the axon tunnel (~30 ms RTT per dispatch).
+    """
+    return _encode_clip_jit(bundle.clip, bundle.clip_params, image01, do_cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("vae", "do_cfg"))
+def _encode_vae_jit(vae, vae_params, image_pm1, do_cfg):
+    image_pm1 = image_pm1.astype(params_dtype(vae_params))
+    lat = vae.apply(vae_params, image_pm1,
+                    method=AutoencoderKLTemporalDecoder.encode_mode)
     if do_cfg:
         lat = jnp.concatenate([jnp.zeros_like(lat), lat], axis=0)
     return lat
+
+
+def encode_vae_image(bundle: ModelBundle, image_pm1: jnp.ndarray,
+                     do_cfg: bool) -> jnp.ndarray:
+    """[B, H, W, 3] in [-1,1] -> latent mean [2B or B, h, w, 4] (UNSCALED,
+    matching pipeline.py:143-163). One jit program per shape (see
+    encode_clip_image on tunnel dispatch cost)."""
+    return _encode_vae_jit(bundle.vae, bundle.vae_params, image_pm1, do_cfg)
 
 
 def decode_latents(bundle: ModelBundle, latents: jnp.ndarray,
@@ -110,7 +142,8 @@ def decode_latents(bundle: ModelBundle, latents: jnp.ndarray,
     vae_params = bundle.vae_params if vae_params is None else vae_params
     b, t = latents.shape[:2]
     flat = latents.reshape((b * t,) + latents.shape[2:])
-    flat = flat / bundle.vae.cfg.scaling_factor
+    flat = (flat / bundle.vae.cfg.scaling_factor).astype(
+        params_dtype(vae_params))
     frames = []
     for i in range(0, b * t, decode_chunk_size):
         chunk = flat[i:i + decode_chunk_size]
@@ -119,6 +152,29 @@ def decode_latents(bundle: ModelBundle, latents: jnp.ndarray,
         frames.append(dec.astype(jnp.float32))
     out = jnp.concatenate(frames, axis=0)
     return out.reshape((b, t) + out.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("vae",))
+def _decode_chunk_jit(vae, vp, chunk):
+    """One chunk's decode as a module-level jit: the compiled program is
+    cached across decode_latents_jit CALLS (a per-call inner `@jax.jit`
+    would recompile the VAE on every video — 60-150 s of tunnel compile
+    each time). flax modules hash by config, so `vae` keys the cache."""
+    n = chunk.shape[0]
+    chunk = (chunk / vae.cfg.scaling_factor).astype(params_dtype(vp))
+    out = vae.apply(vp, chunk, n,
+                    method=AutoencoderKLTemporalDecoder.decode)
+    return out.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("vae", "mesh"))
+def _decode_chunks_sharded_jit(vae, mesh, vp, x):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mofa_tpu.core.mesh import AXES
+
+    x = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(AXES.frames)))
+    return jax.vmap(lambda c: _decode_chunk_jit(vae, vp, c))(x)
 
 
 def decode_latents_jit(bundle: ModelBundle, latents: jnp.ndarray,
@@ -137,34 +193,20 @@ def decode_latents_jit(bundle: ModelBundle, latents: jnp.ndarray,
     would change its temporal-conv neighborhood)."""
     vae = bundle.vae
 
-    @jax.jit
-    def dec(vp, chunk):
-        n = chunk.shape[0]
-        out = vae.apply(vp, chunk / vae.cfg.scaling_factor, n,
-                        method=AutoencoderKLTemporalDecoder.decode)
-        return out.astype(jnp.float32)
-
     b, t = latents.shape[:2]
     flat = latents.reshape((b * t,) + latents.shape[2:])
     n_full = (b * t) // decode_chunk_size
     if mesh is not None and n_full > 1:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from mofa_tpu.core.mesh import AXES
-
-        @jax.jit
-        def dec_chunks(vp, x):
-            x = jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(AXES.frames)))
-            return jax.vmap(lambda c: dec(vp, c))(x)
-
         main = flat[:n_full * decode_chunk_size].reshape(
             (n_full, decode_chunk_size) + flat.shape[1:])
-        out_main = dec_chunks(bundle.vae_params, main)
+        out_main = _decode_chunks_sharded_jit(vae, mesh, bundle.vae_params,
+                                              main)
         frames = [out_main.reshape((-1,) + out_main.shape[2:])]
         start = n_full * decode_chunk_size
     else:
         frames, start = [], 0
-    frames += [dec(bundle.vae_params, flat[i:i + decode_chunk_size])
+    frames += [_decode_chunk_jit(vae, bundle.vae_params,
+                                 flat[i:i + decode_chunk_size])
                for i in range(start, b * t, decode_chunk_size)]
     out = jnp.concatenate(frames, axis=0)
     return out.reshape((b, t) + out.shape[1:])

@@ -26,7 +26,7 @@ from mofa_tpu.ops.euler import make_euler_schedule, euler_step, scale_model_inpu
 from mofa_tpu.ops.resize import resize_nhwc
 from mofa_tpu.pipelines.common import (
     ModelBundle, encode_clip_image, encode_vae_image, decode_latents,
-    decode_latents_jit, get_add_time_ids, postprocess_frames,
+    decode_latents_jit, get_add_time_ids, params_dtype, postprocess_frames,
 )
 
 
@@ -143,6 +143,17 @@ class HybridPipeline:
         bundle = self.bundle
         face_cn, drag_cn = bundle.controlnet, bundle.controlnet2
 
+        # cast MODEL inputs to the param dtype (fp32 latent carry would
+        # otherwise promote the whole UNet to fp32; see common.params_dtype)
+        cd = params_dtype(unet_params)
+        image_latents = image_latents.astype(cd)
+        image_embeddings = image_embeddings.astype(cd)
+        cond_image = cond_image.astype(cd)
+        flow_cfg = flow_cfg.astype(cd)
+        drag_cfg = drag_cfg.astype(cd)
+        ldmk_cfg = ldmk_cfg.astype(cd)
+        face_mask = face_mask.astype(cd)
+
         inject_face, _ = face_cn.apply(
             face_params, cond_image, flow_cfg, ldmk_cfg,
             method=type(face_cn).encode_features)
@@ -154,7 +165,8 @@ class HybridPipeline:
             sigma, sigma_next, ts = sigmas[i], sigmas[i + 1], timesteps[i]
             latent_in = jnp.concatenate([lat] * 2, axis=0)
             latent_in = scale_model_input(latent_in, sigma)
-            latent_in = jnp.concatenate([latent_in, image_latents], axis=-1)
+            latent_in = jnp.concatenate(
+                [latent_in.astype(cd), image_latents], axis=-1)
 
             down_face, mid_face = face_cn.apply(
                 face_params, latent_in, ts, image_embeddings, added_time_ids,

@@ -33,7 +33,7 @@ import numpy as np
 from mofa_tpu.ops.euler import make_euler_schedule, euler_step, scale_model_input
 from mofa_tpu.pipelines.common import (
     ModelBundle, encode_clip_image, encode_vae_image, decode_latents,
-    decode_latents_jit, get_add_time_ids, postprocess_frames,
+    decode_latents_jit, get_add_time_ids, params_dtype, postprocess_frames,
 )
 
 
@@ -186,6 +186,14 @@ class KeypointPipeline:
         bundle = self.bundle
         cn = bundle.controlnet
         w_len = window_size
+        # cast MODEL inputs to the param dtype (see common.params_dtype);
+        # latent carry / Euler / overlap averaging stay fp32
+        cd = params_dtype(unet_params)
+        image_latents = image_latents.astype(cd)
+        image_embeddings = image_embeddings.astype(cd)
+        cond_image = cond_image.astype(cd)
+        flow_cfg = flow_cfg.astype(cd)
+        ldmk_cfg = ldmk_cfg.astype(cd)
 
         # precompute per-view injection features (step-independent):
         # flow window = flow[t_start-1 : t_end-1]  == idx[1:] - 1 positions;
@@ -215,7 +223,8 @@ class KeypointPipeline:
                 img_lat = jnp.take(image_latents, idx_v, axis=1)  # [2, W, h, w, 4]
                 latent_in = jnp.concatenate([win_lat] * 2, axis=0)
                 latent_in = scale_model_input(latent_in, sigma)
-                latent_in = jnp.concatenate([latent_in, img_lat], axis=-1)
+                latent_in = jnp.concatenate(
+                    [latent_in.astype(img_lat.dtype), img_lat], axis=-1)
                 down_res, mid_res = cn.apply(
                     cn_params, latent_in, ts, image_embeddings, added_time_ids,
                     conditioning_scale=cond_scale,
@@ -259,6 +268,12 @@ class KeypointPipeline:
         bundle = self.bundle
         cn = bundle.controlnet
         w_len = window_size
+        cd = params_dtype(unet_params)
+        image_latents = image_latents.astype(cd)
+        image_embeddings = image_embeddings.astype(cd)
+        cond_image = cond_image.astype(cd)
+        flow_cfg = flow_cfg.astype(cd)
+        ldmk_cfg = ldmk_cfg.astype(cd)
         vb = window_batch
         n_views = idx.shape[0]
         g = -(-n_views // vb)
@@ -314,7 +329,8 @@ class KeypointPipeline:
                     (2 * vb, w_len) + image_latents.shape[2:])
                 latent_in = jnp.concatenate([win_lat] * 2, axis=0)  # [2Vb, W,..]
                 latent_in = scale_model_input(latent_in, sigma)
-                latent_in = jnp.concatenate([latent_in, img_lat], axis=-1)
+                latent_in = jnp.concatenate(
+                    [latent_in.astype(img_lat.dtype), img_lat], axis=-1)
                 down_res, mid_res = cn.apply(
                     cn_params, latent_in, ts, ehs, ids,
                     conditioning_scale=cond_scale,
@@ -358,7 +374,8 @@ class KeypointPipeline:
         bundle = self.bundle
         latent_in = jnp.concatenate([win_lat] * 2, axis=0)
         latent_in = scale_model_input(latent_in, sigma)
-        latent_in = jnp.concatenate([latent_in, img_lat], axis=-1)
+        latent_in = jnp.concatenate(
+                    [latent_in.astype(img_lat.dtype), img_lat], axis=-1)
         down_res, mid_res = bundle.controlnet.apply(
             cn_params, latent_in, ts, image_embeddings, added_time_ids,
             conditioning_scale=cond_scale,
@@ -390,7 +407,8 @@ class KeypointPipeline:
         ids = jnp.repeat(added_time_ids, vb, axis=0)
         latent_in = jnp.concatenate([win_lat] * 2, axis=0)
         latent_in = scale_model_input(latent_in, sigma)
-        latent_in = jnp.concatenate([latent_in, img_lat], axis=-1)
+        latent_in = jnp.concatenate(
+                    [latent_in.astype(img_lat.dtype), img_lat], axis=-1)
         down_res, mid_res = bundle.controlnet.apply(
             cn_params, latent_in, ts, ehs, ids,
             conditioning_scale=cond_scale,
@@ -420,6 +438,12 @@ class KeypointPipeline:
         small reused jit program (semantics identical to the scan path).
         window_batch > 1 stacks that many windows per program call."""
         del decode_chunk_size, return_latent  # decode happens in __call__
+        cd = params_dtype(unet_params)
+        image_latents = image_latents.astype(cd)
+        image_embeddings = image_embeddings.astype(cd)
+        cond_image = cond_image.astype(cd)
+        flow_cfg = flow_cfg.astype(cd)
+        ldmk_cfg = ldmk_cfg.astype(cd)
         idx_np = np.asarray(idx)
         n_views = idx_np.shape[0]
         injects = []
