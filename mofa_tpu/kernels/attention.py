@@ -100,15 +100,20 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
     if impl == "flash":
         import os
         from mofa_tpu.kernels.flash_attention import flash_attention
-        # MOFA_FIXED_MAX_SOFTMAX=1 opts the whole model into the clamped
-        # no-running-max flash softmax (read at trace time; see
-        # kernels/flash_attention.py for the numerics contract)
-        fixed = os.environ.get("MOFA_FIXED_MAX_SOFTMAX", "") == "1"
-        from mofa_tpu.kernels.flash_attention import (DEFAULT_BLOCK_Q,
-                                                      DEFAULT_BLOCK_K)
+        # Clamped fixed-max softmax is the DEFAULT: the v5e A/B sweep
+        # (tools/bench_flash.py, 100-iter on-chip) measures 24.1 -> 17.8 ms
+        # at the /8 SVD shape and 3.7 -> 2.8 ms at /16 — the kernel is
+        # VPU-bound and dropping the running max + acc rescale is a 26%
+        # win. Exact for natural logits <= 69 (see flash_attention.py);
+        # MOFA_FIXED_MAX_SOFTMAX=0 opts back into the online-max softmax.
+        fixed = os.environ.get("MOFA_FIXED_MAX_SOFTMAX", "") != "0"
+        # block sweep (fixed-max): bq=256 with the K side in half/whole
+        # blocks wins — (256, 4608) 17.8 ms at L=9216, (256, 2304) 2.8 ms
+        # at L=2304 (vs (512, 1024) 19.5/3.2). _flash_fwd shrinks bk to a
+        # divisor of L automatically.
+        bq, bk = 256, min(k.shape[1], 4608)
         # positional: custom_vjp + nondiff_argnums rejects kwargs
-        return flash_attention(q, k, v, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
-                               fixed)
+        return flash_attention(q, k, v, bq, bk, fixed)
     if impl == "xla":
         return jax.nn.dot_product_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
