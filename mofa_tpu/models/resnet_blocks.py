@@ -41,8 +41,67 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+class TemporalConv3(nn.Module):
+    """(3,1,1) frame-axis conv computed as ONE GEMM + shifted adds.
+
+    Matches flax `nn.Conv(out, (3,1,1), padding=[(1,1),(0,0),(0,0)])` math
+    (zero 'same' padding on the frame axis) with an identical param tree
+    (kernel [3,1,1,Cin,Cout], bias [Cout]) so weight converters and goldens
+    are unchanged. Input is the flattened [B, T, HW, C] view.
+
+    Why: the XLA TPU conv emitter handles the 5-D [B,T,H,W,C] (3,1,1) conv
+    by relayouting activations into a (2,128)-tiled layout and runs at
+    ~55-65% MXU with ~1 ms relayout copies on both sides (device trace,
+    tools/trace_full.py at the 576x1024 bench shape). One [*,Cin]x[Cin,3Cout]
+    GEMM stays in the (8,128) spatial layouts, and the frame shifts
+    (y[t] = z0[t-1] + z1[t] + z2[t+1]) are pad+slice elementwise fusions.
+    """
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, T, HW, C]
+        b, t, s, cin = x.shape
+        co = self.out_channels
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 1, 1, cin, co), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (co,), jnp.float32)
+        # [3,1,1,Cin,Co] -> [Cin, 3*Co] (tap-major lanes, split back below)
+        wcat = jnp.moveaxis(kernel[:, 0, 0], 0, 1).reshape(cin, 3 * co)
+        z = jnp.dot(x, wcat.astype(x.dtype))            # [B, T, HW, 3*Co]
+        z = z.reshape(b, t, s, 3, co)
+        y = z[..., 1, :]
+        # tap 0 multiplies frame t-1; tap 2 multiplies frame t+1
+        y = y + jnp.pad(z[:, : t - 1, :, 0, :], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        y = y + jnp.pad(z[:, 1:, :, 2, :], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        return y + bias.astype(y.dtype)
+
+
+class PointwiseConv3D(nn.Module):
+    """(1,1,1) conv as a matmul; param tree identical to nn.Conv's
+    kernel [1,1,1,Cin,Cout] + bias so weight converters are unchanged."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, 1, cin, self.out_channels), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_channels,), jnp.float32)
+        w = kernel.reshape(cin, self.out_channels)
+        return jnp.dot(x, w.astype(x.dtype)) + bias.astype(x.dtype)
+
+
 class TemporalResnetBlock(nn.Module):
-    """Resnet over the frame axis; input [B, T, H, W, C]."""
+    """Resnet over the frame axis; input [B, T, H, W, C].
+
+    Internally runs on the flattened [B, T, HW, C] view: the (3,1,1) convs
+    become GEMMs (TemporalConv3) and GroupNorm/SiLU are rank-agnostic, so
+    no 5-D activation layouts are ever materialized on TPU.
+    """
 
     out_channels: int
     eps: float = 1e-6
@@ -50,22 +109,21 @@ class TemporalResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb=None):
-        in_ch = x.shape[-1]
+        b, tt, hh, ww, in_ch = x.shape
+        x = x.reshape(b, tt, hh * ww, in_ch)
         h = GroupNorm(32, self.eps, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
-                    dtype=x.dtype, name="conv1")(h)
+        h = TemporalConv3(self.out_channels, name="conv1")(h)
         if self.use_temb and temb is not None:
-            # temb [B, T, temb_ch] -> bias over [B, T, 1, 1, C]
+            # temb [B, T, temb_ch] -> bias over [B, T, 1, C]
             t = Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
-            h = h + t[:, :, None, None, :]
+            h = h + t[:, :, None, :]
         h = GroupNorm(32, self.eps, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
-                    dtype=x.dtype, name="conv2")(h)
+        h = TemporalConv3(self.out_channels, name="conv2")(h)
         if in_ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1, 1), dtype=x.dtype, name="conv_shortcut")(x)
-        return x + h
+            x = PointwiseConv3D(self.out_channels, name="conv_shortcut")(x)
+        return (x + h).reshape(b, tt, hh, ww, self.out_channels)
 
 
 class SpatioTemporalResBlock(nn.Module):
