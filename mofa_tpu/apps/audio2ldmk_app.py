@@ -7,10 +7,13 @@ smooth -> perspective projection -> 468->68 -> landmarks.npy — the exact
 npy contract consumed by keypoint_app / hybrid_app.
 
 The reference extracts (lmks, lmks3d, trans_mat) from the still image with
-mediapipe's FaceLandmarker (not available in this image); here they are
-supplied via --face_npz (keys: lmks [478,2 or 3] normalized, lmks3d
-[478,3], trans_mat [4,4]) produced by any external landmarker with the
-mediapipe contract.
+mediapipe's FaceLandmarker (audio2ldmk.py:217-221). Here that stage runs
+IN-FRAMEWORK: pass --task pointing at the mediapipe .task bundle (the
+reference ships one at aniportrait/src/utils/mp_models/) and
+mofa_tpu.models.mp_face.FaceLandmarkerJax extracts lmks/lmks3d/trans_mat
+with zero external stages. --face_npz (keys: lmks [478,2 or 3] normalized,
+lmks3d [468,3], trans_mat [4,4]) remains as a fallback contract for
+pre-computed landmarker output.
 """
 
 from __future__ import annotations
@@ -27,8 +30,13 @@ def build_parser():
     p = argparse.ArgumentParser(description="MOFA-TPU audio->landmarks")
     p.add_argument("--ref_image_path", required=True)
     p.add_argument("--audio_path", required=True)
-    p.add_argument("--face_npz", required=True,
-                   help="npz with lmks/lmks3d/trans_mat (mediapipe contract)")
+    p.add_argument("--face_npz", default=None,
+                   help="pre-computed npz with lmks/lmks3d/trans_mat "
+                        "(mediapipe contract); fallback when --task absent")
+    p.add_argument("--task", default=None,
+                   help="mediapipe face_landmarker .task bundle: run the "
+                        "in-framework FaceLandmarkerJax on --ref_image_path "
+                        "(replaces the reference's LMKExtractor)")
     p.add_argument("--save_dir", required=True)
     p.add_argument("--a2m_ckpt", default=None, help="audio2mesh.pt")
     p.add_argument("--a2p_ckpt", default=None, help="audio2pose.pt")
@@ -54,6 +62,23 @@ def build_parser():
     return p
 
 
+def extract_face(args, img):
+    """(lmks normalized [478,*], lmks3d [468,3], trans_mat [4,4]) from the
+    still image: in-framework FaceLandmarkerJax when --task is given
+    (reference: mp_utils.LMKExtractor, audio2ldmk.py:207/217), else the
+    --face_npz pre-computed contract."""
+    import numpy as np
+    if args.task:
+        from mofa_tpu.models.mp_face import load_face_landmarker
+        out = load_face_landmarker(args.task)(np.asarray(img))
+        if out is None:
+            raise SystemExit("No face detected.")  # audio2ldmk.py:218
+        return out
+    if not args.face_npz:
+        raise SystemExit("need --task (in-framework landmarker) or --face_npz")
+    return np.load(args.face_npz)
+
+
 def run(args):
     if args.engine == "sadtalker":
         return run_sadtalker(args)
@@ -69,7 +94,7 @@ def run(args):
     img = Image.open(args.ref_image_path).convert("RGB")
     width, height = img.size
 
-    face = np.load(args.face_npz)
+    face = extract_face(args, img)
     lmks = face["lmks"].astype(np.float32).copy()
     lmks[:, 0] *= width
     lmks[:, 1] *= height

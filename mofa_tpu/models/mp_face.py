@@ -18,13 +18,15 @@ published task-graph configs):
      metric face (parsed straight out of the .task's geometry binarypb)
      -> 4x4 facial transformation matrix + metric landmarks (lmks3d).
 
-The three CNNs are bit-golden vs tf.lite.Interpreter on the real weights
+The three CNNs are golden vs tf.lite.Interpreter on the real weights
 (tests/test_tflite_jax.py). The geometry stage is a re-derivation (weak
 perspective, 63-degree vertical FOV camera per mediapipe's
 pose_util.create_perspective_matrix) validated by synthetic-pose recovery
-tests; exact mediapipe bit-parity is unverifiable in this image (no
-mediapipe), and downstream consumers (AniPortrait pose retargeting) use
-relative poses, which only need consistency.
+and relative-pose consistency tests plus an end-to-end run on the
+reference's demo face (tests/test_mp_face.py); exact mediapipe bit-parity
+is unverifiable in this image (no mediapipe), and downstream consumers
+(AniPortrait pose retargeting) use relative poses, which only need
+consistency. Wired into apps/audio2ldmk_app.py via --task.
 """
 
 from __future__ import annotations
@@ -92,11 +94,15 @@ def _wire_fields(buf: bytes):
 
 
 def parse_geometry_metadata(buf: bytes):
-    """GeometryPipelineMetadata -> (canonical [478,5] xyzuv, tris [N,3],
-    procrustes weights [478])."""
+    """GeometryPipelineMetadata -> (canonical [468,5] xyzuv, tris [N,3],
+    procrustes weights [468]).
+
+    The canonical metric mesh has 468 vertices — the 10 iris landmarks the
+    478-pt model adds have no canonical counterpart (the reference's
+    `mesh3d.vertex_buffer` is likewise 468 rows, mp_utils.py:82-84)."""
     verts: List[float] = []
     tris: List[int] = []
-    weights = np.zeros(478, np.float32)
+    wrefs: List[Tuple[int, float]] = []
     for fno, v in _wire_fields(buf):
         if fno == 1:  # Mesh3d
             for f2, v2 in _wire_fields(v):
@@ -115,8 +121,11 @@ def parse_geometry_metadata(buf: bytes):
                     lid = int(v2)
                 elif f2 == 2:
                     wgt = float(v2)
-            weights[lid] = wgt
+            wrefs.append((lid, wgt))
     canonical = np.asarray(verts, np.float32).reshape(-1, 5)
+    weights = np.zeros(len(canonical), np.float32)
+    for lid, wgt in wrefs:
+        weights[lid] = wgt
     return canonical, np.asarray(tris, np.int64).reshape(-1, 3), weights
 
 
@@ -189,9 +198,9 @@ class FaceLandmarkerJax:
     lmk_params: Dict
     bs_fn: object
     bs_params: Dict
-    canonical: np.ndarray        # [478, 5] xyzuv
+    canonical: np.ndarray        # [468, 5] xyzuv (metric mesh)
     tris: np.ndarray             # [N, 3]
-    proc_weights: np.ndarray     # [478]
+    proc_weights: np.ndarray     # [468]
 
     # --- model stages (jitted) ---
 
@@ -245,7 +254,9 @@ class FaceLandmarkerJax:
 
     def _solve_pose(self, lmks: np.ndarray, aspect: float):
         """Normalized screen landmarks [478,3] -> (trans_mat [4,4],
-        metric landmarks [478,3]).
+        metric landmarks [468,3] — the canonical-mesh vertex count; the 10
+        iris points have no metric counterpart, matching the reference's
+        `mesh3d.vertex_buffer` contract (mp_utils.py:82-84)).
 
         Weak-perspective re-derivation of mediapipe's geometry pipeline:
         unproject to the near plane of the 63-degree vFOV camera
@@ -257,9 +268,10 @@ class FaceLandmarkerJax:
         near = 1.0
         top = near * np.tan(np.radians(63.0 / 2))
         right = top * aspect
-        x = (lmks[:, 0] * 2 - 1) * right
-        y = -(lmks[:, 1] * 2 - 1) * top          # y up in metric space
-        z = -lmks[:, 2] * right                   # z toward the camera
+        n = len(self.canonical)                   # 468: drop iris landmarks
+        x = (lmks[:n, 0] * 2 - 1) * right
+        y = -(lmks[:n, 1] * 2 - 1) * top          # y up in metric space
+        z = -lmks[:n, 2] * right                  # z toward the camera
         runtime = np.stack([x, y, z], -1)
 
         can = self.canonical[:, :3]
@@ -289,7 +301,7 @@ class FaceLandmarkerJax:
 
     def __call__(self, img_rgb: np.ndarray) -> Optional[dict]:
         """img_rgb uint8/float [H,W,3] -> mp_utils.LMKExtractor dict
-        (lmks [478,3] image-normalized, lmks3d [478,3] metric, trans_mat
+        (lmks [478,3] image-normalized, lmks3d [468,3] metric, trans_mat
         [4,4], faces [N,3] 1-based, bs [51]) or None if no face."""
         img01 = np.asarray(img_rgb, np.float32)
         if img01.max() > 2.0:

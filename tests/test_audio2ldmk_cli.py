@@ -67,3 +67,27 @@ def test_sadtalker_cli_face3dvis(tmp_path):
     assert lm.ndim == 3 and lm.shape[1:] == (68, 2) and lm.shape[0] >= 2
     assert os.path.getsize(os.path.join(save_dir, "3dface.mp4")) > 0
     assert os.path.getsize(os.path.join(save_dir, "landmarks_vis.mp4")) > 0
+
+
+TASK = ("/root/reference/MOFA-Video-Hybrid/aniportrait/src/utils/mp_models/"
+        "face_landmarker_v2_with_blendshapes.task")
+DEMO_FACE = "/root/reference/MOFA-Video-Keypoint/demo/images/000001.jpg"
+
+
+@pytest.mark.skipif(not (os.path.exists(TASK) and os.path.exists(DEMO_FACE)),
+                    reason="reference mp_models/demo not mounted")
+def test_aniportrait_cli_in_framework_landmarker(tmp_path):
+    """(image, wav) -> landmarks.npy with ZERO external stages: the --task
+    path runs FaceLandmarkerJax in place of the reference's LMKExtractor
+    (audio2ldmk.py:207/217-221)."""
+    wav = str(tmp_path / "a.wav")
+    _write_wav(wav, seconds=0.25)
+    save_dir = str(tmp_path / "out")
+    main(["--ref_image_path", DEMO_FACE, "--audio_path", wav,
+          "--task", TASK, "--save_dir", save_dir,
+          "--engine", "aniportrait", "--tiny"])
+    lm = np.load(os.path.join(save_dir, "landmarks.npy"))
+    assert lm.ndim == 3 and lm.shape[1:] == (68, 2) and lm.shape[0] >= 2
+    # landmarks land inside the demo image
+    assert (lm[..., 0] >= 0).all() and (lm[..., 0] <= 512).all()
+    assert (lm[..., 1] >= 0).all() and (lm[..., 1] <= 512).all()
