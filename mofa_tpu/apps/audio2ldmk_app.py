@@ -46,8 +46,24 @@ def build_parser():
                    choices=("aniportrait", "sadtalker", "video"),
                    default="aniportrait")
     p.add_argument("--driving_coeffs_npz", default=None,
-                   help="video engine: per-frame [T, 70] exp+pose track "
-                        "of the driving video (external 3DMM fit)")
+                   help="video engine: pre-computed per-frame [T, 70] "
+                        "exp+pose track of the driving video")
+    p.add_argument("--driving_video", default=None,
+                   help="video engine: raw driving .mp4 — fit per-frame "
+                        "coeffs IN-FRAMEWORK (BlazeFace via --task, AWing "
+                        "FAN via --fan_ckpt, ReconNet via --recon_ckpt, "
+                        "--lm3d_mat), replacing --driving_coeffs_npz")
+    p.add_argument("--fan_ckpt", default=None,
+                   help="facexlib alignment_WFLW_4HG.pth for the FAN stage")
+    p.add_argument("--fan_tiny", action="store_true",
+                   help="1-module random-weight FAN (tests only)")
+    p.add_argument("--recon_ckpt", default=None,
+                   help="Deep3DFaceRecon net_recon checkpoint")
+    p.add_argument("--recon_tiny", action="store_true",
+                   help="tiny random-weight ReconNet (tests only)")
+    p.add_argument("--lm3d_mat", default=None,
+                   help="similarity_Lm3D_all.mat (BFM fitting dir)")
+    p.add_argument("--max_frames", type=int, default=None)
     # sadtalker-engine inputs
     p.add_argument("--bfm_mat", default=None, help="BFM model .mat")
     p.add_argument("--coeff_npz", default=None,
@@ -202,9 +218,56 @@ def _write_face3dvis(args, landmarks, all_coeffs):
     print(f"wrote {os.path.join(args.save_dir, '3dface.mp4')}")
 
 
+def _fit_driving(args):
+    """Raw driving mp4 -> [T, 70] coeff track, fully in-framework
+    (preprocess/video_fit.py): the reference's automatic per-frame chain
+    (sadtalker_video2pose/inference.py:79-92)."""
+    from mofa_tpu.models.mp_face import load_face_detector
+    from mofa_tpu.models.face_alignment import FAN
+    from mofa_tpu.models.audio.face3d_fit import ReconNet, load_lm3d
+    from mofa_tpu.models.weights import (convert_fan_state_dict,
+                                         convert_face3d_recon_state_dict,
+                                         load_safetensors,
+                                         load_torch_checkpoint)
+    from mofa_tpu.preprocess.video_fit import fit_driving_video
+
+    if not args.task:
+        raise SystemExit("--driving_video needs --task (BlazeFace weights)")
+    if not args.lm3d_mat:
+        raise SystemExit("--driving_video needs --lm3d_mat")
+    det_fn, det_params = load_face_detector(args.task)
+
+    fan = FAN(num_modules=1) if args.fan_tiny else FAN()
+    fan_params = fan.init(jax.random.PRNGKey(0),
+                          np.zeros((1, 256, 256, 3), np.float32))
+    if args.fan_ckpt:
+        fan_params = convert_fan_state_dict(
+            fan_params, load_torch_checkpoint(args.fan_ckpt))
+
+    recon = (ReconNet(layers=(1, 1, 1, 1), width=8) if args.recon_tiny
+             else ReconNet())
+    recon_params = recon.init(jax.random.PRNGKey(1),
+                              np.zeros((1, 224, 224, 3), np.float32))
+    if args.recon_ckpt:
+        sd = (load_safetensors(args.recon_ckpt)
+              if args.recon_ckpt.endswith(".safetensors")
+              else load_torch_checkpoint(args.recon_ckpt))
+        sd = {k[len("face_3drecon."):] if k.startswith("face_3drecon.")
+              else k: v for k, v in sd.items()}
+        recon_params = convert_face3d_recon_state_dict(recon_params, sd,
+                                                       strict=False)
+    coeff70, _ = fit_driving_video(
+        args.driving_video, det_fn, det_params, fan.apply, fan_params,
+        recon, recon_params, load_lm3d(args.lm3d_mat),
+        max_frames=args.max_frames)
+    return coeff70
+
+
 def run_video(args):
     """Video-driven engine (sadtalker_video2pose path): driving video's
-    per-frame 70-d exp+pose coeffs retarget the reference identity."""
+    per-frame 70-d exp+pose coeffs retarget the reference identity. The
+    coeff track comes from --driving_video (raw mp4, in-framework fit) or
+    a pre-computed --driving_coeffs_npz."""
     from mofa_tpu.models.audio.sadtalker import (BFMModel,
                                                  sadtalker_video_to_landmarks)
     data = np.load(args.coeff_npz, allow_pickle=True)
@@ -212,7 +275,12 @@ def run_video(args):
     trans_params = data["trans_params"].astype(np.float32).reshape(-1)
     crop_info = data["crop_info"].tolist() if "crop_info" in data else (
         (256, 256), (0, 0, 256, 256), (0, 0, 256, 256))
-    driving = np.load(args.driving_coeffs_npz)["coeff_3dmm"]
+    if args.driving_video:
+        driving = _fit_driving(args)
+    else:
+        if not args.driving_coeffs_npz:
+            raise SystemExit("need --driving_video or --driving_coeffs_npz")
+        driving = np.load(args.driving_coeffs_npz)["coeff_3dmm"]
     bfm = BFMModel.load(args.bfm_mat)
     landmarks = sadtalker_video_to_landmarks(
         bfm, coeff257, driving, trans_params, crop_info)

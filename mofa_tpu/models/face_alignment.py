@@ -208,6 +208,27 @@ def landmark_98_to_68(lm98: np.ndarray) -> np.ndarray:
     return lm68
 
 
+def get_landmarks_batch(apply_fn, params, crops_rgb) -> np.ndarray:
+    """Batched FAN over T face crops (one device program instead of the
+    reference's per-frame loop, extract_kp_videos_safe.py:49-56): each crop
+    resized to 256 on host, stacked, single apply. Returns [T, 98, 2] in
+    each crop's own pixel coordinates."""
+    import cv2
+
+    sizes = [c.shape[:2] for c in crops_rgb]
+    inp = np.stack([
+        cv2.resize(np.asarray(c), (256, 256))[..., ::-1].astype(np.float32)
+        / 255.0 for c in crops_rgb])
+    outs = apply_fn(params, jnp.asarray(inp))
+    heat = np.asarray(outs[-1])[..., :-1]                # drop boundary ch
+    heat = np.moveaxis(heat, -1, 1)                      # [T, N, H, W]
+    pred = calculate_points(heat)                        # [T, 98, 2]
+    for i, (h, w) in enumerate(sizes):
+        pred[i, :, 0] *= w / 64.0
+        pred[i, :, 1] *= h / 64.0
+    return pred
+
+
 def get_landmarks(apply_fn, params, img_rgb: np.ndarray) -> np.ndarray:
     """facexlib FAN.get_landmarks: resize crop to 256, RGB->BGR, /255,
     decode last module's 98 heatmaps, rescale to crop coords. Returns

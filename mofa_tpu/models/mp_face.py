@@ -149,7 +149,8 @@ def decode_detections(raw_boxes: np.ndarray, raw_scores: np.ndarray,
     """TensorsToDetections: [896,16]+[896,1] -> (boxes xyxy, 6 kps, scores),
     coords normalized to the 128-square input."""
     s = 1.0 / 128.0
-    scores = 1.0 / (1.0 + np.exp(-np.clip(raw_scores[:, 0], -100, 100)))
+    scores = 1.0 / (1.0 + np.exp(-np.clip(
+        raw_scores[:, 0].astype(np.float64), -100, 100)))
     keep = scores >= score_thresh
     rb, a, scores = raw_boxes[keep], anchors[keep], scores[keep]
     cx, cy = rb[:, 0] * s + a[:, 0], rb[:, 1] * s + a[:, 1]
@@ -188,6 +189,47 @@ def weighted_nms(boxes, kps, scores, iou_thresh: float = 0.3):
 
 # ---------- the landmarker ----------
 
+def detect_face(det_fn, det_params, img01: np.ndarray):
+    """BlazeFace short-range detection on one frame. img01 [H,W,3] float in
+    [0,1] -> best face (box xyxy, 6 kps, score) in image-normalized coords,
+    or None. Standalone so the driving-video fitter
+    (preprocess/video_fit.py) can use it without the landmark models."""
+    h, w = img01.shape[:2]
+    size = max(h, w)
+    pad_y, pad_x = (size - h) // 2, (size - w) // 2
+    sq = np.zeros((size, size, 3), np.float32)
+    sq[pad_y:pad_y + h, pad_x:pad_x + w] = img01
+    x = jax.image.resize(jnp.asarray(sq), (128, 128, 3), "linear")
+    x = x[None] * 2.0 - 1.0
+    raw_box, raw_score = det_fn(det_params, x)
+    boxes, kps, scores = decode_detections(
+        np.asarray(raw_box)[0], np.asarray(raw_score)[0], blaze_anchors())
+    if len(scores) == 0:
+        return None
+    dets = weighted_nms(boxes, kps, scores)
+    box, kp, score = dets[0]
+    # letterbox-square [0,1] -> image-normalized [0,1]
+    def unpad(pts):
+        pts = pts * size
+        pts[..., 0] = (pts[..., 0] - pad_x) / w
+        pts[..., 1] = (pts[..., 1] - pad_y) / h
+        return pts
+    return unpad(box.reshape(2, 2)).reshape(4), unpad(kp), score
+
+
+def load_face_detector(path: str):
+    """(det_fn jitted, det_params) from a bare BlazeFace .tflite or a
+    face_landmarker .task bundle (both ship with the reference)."""
+    if path.endswith(".task"):
+        graph = TFLiteGraph.from_task(path, "face_detector.tflite")
+    elif path.endswith(".npz"):
+        graph = TFLiteGraph.load_npz(path)
+    else:
+        graph = TFLiteGraph.from_path(path)
+    fn, params = compile_tflite(graph)
+    return jax.jit(fn), params
+
+
 @dataclass(eq=False)  # identity hash: `self` is a static jit arg in _crop256
 class FaceLandmarkerJax:
     """Callable LMKExtractor replacement. Build via `load_face_landmarker`."""
@@ -205,29 +247,8 @@ class FaceLandmarkerJax:
     # --- model stages (jitted) ---
 
     def _detect(self, img01: np.ndarray):
-        """img01 [H,W,3] float in [0,1] -> best face (box, kps, score) in
-        image-normalized coords, or None."""
-        h, w = img01.shape[:2]
-        size = max(h, w)
-        pad_y, pad_x = (size - h) // 2, (size - w) // 2
-        sq = np.zeros((size, size, 3), np.float32)
-        sq[pad_y:pad_y + h, pad_x:pad_x + w] = img01
-        x = jax.image.resize(jnp.asarray(sq), (128, 128, 3), "linear")
-        x = x[None] * 2.0 - 1.0
-        raw_box, raw_score = self.det_fn(self.det_params, x)
-        boxes, kps, scores = decode_detections(
-            np.asarray(raw_box)[0], np.asarray(raw_score)[0], blaze_anchors())
-        if len(scores) == 0:
-            return None
-        dets = weighted_nms(boxes, kps, scores)
-        box, kp, score = dets[0]
-        # letterbox-square [0,1] -> image-normalized [0,1]
-        def unpad(pts):
-            pts = pts * size
-            pts[..., 0] = (pts[..., 0] - pad_x) / w
-            pts[..., 1] = (pts[..., 1] - pad_y) / h
-            return pts
-        return unpad(box.reshape(2, 2)).reshape(4), unpad(kp), score
+        """img01 [H,W,3] float in [0,1] -> best face, via detect_face."""
+        return detect_face(self.det_fn, self.det_params, img01)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _crop256(self, img, cx, cy, half, rot):
