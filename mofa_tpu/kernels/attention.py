@@ -110,8 +110,11 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
         # block sweep (fixed-max): bq=256 with the K side in half/whole
         # blocks wins — (256, 4608) 17.8 ms at L=9216, (256, 2304) 2.8 ms
         # at L=2304 (vs (512, 1024) 19.5/3.2). _flash_fwd shrinks bk to a
-        # divisor of L automatically.
-        bq, bk = 256, min(k.shape[1], 4608)
+        # divisor of L automatically. Floor bk at 128 so a forced
+        # impl="flash" on short sequences (e.g. temporal L=25) still gets a
+        # sublane-aligned Pallas block (pad+mask) instead of block_k=25,
+        # which Mosaic may refuse to compile on real TPU.
+        bq, bk = 256, max(128, min(k.shape[1], 4608))
         # positional: custom_vjp + nondiff_argnums rejects kwargs
         return flash_attention(q, k, v, bq, bk, fixed)
     if impl == "xla":

@@ -110,6 +110,11 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         acc0 = jnp.zeros((bq, d), jnp.float32)
         s0 = jnp.zeros((bq, 1), jnp.float32)
         acc, s = jax.lax.fori_loop(0, num_kb, body_fixed, (acc0, s0))
+        # guard the no-running-max failure mode: a row whose base-2 logits
+        # are ALL below ~-126 underflows every exp2 to 0 (s == 0) and would
+        # emit 0/0 NaN; clamp s so such rows return 0 instead. No effect on
+        # normal rows (any non-underflowed key gives s >= 2^-126 >> 1e-30).
+        s = jnp.maximum(s, 1e-30)
         o_ref[:] = (acc / s).astype(o_ref.dtype)
         lse_ref[:] = (jnp.log2(s) * _LN2).astype(jnp.float32)
         return

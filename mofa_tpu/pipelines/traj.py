@@ -69,11 +69,16 @@ class TrajPipeline:
         [0,1] (or latents), controlnet_flow).
 
         cfg_split: run the uncond/cond CFG halves sequentially through ONE
-        shared-compile `lax.map` body instead of a 2B batch. Identical math
-        (batch rows are independent through the UNet; the adapter's warped
-        features are shared, both halves see the same cond image/flow) at
-        half the peak activation HBM — required to fit the full 25-frame
-        576x1024 video on a single 16 GB v5e chip.
+        shared-compile `lax.map` body instead of a 2B batch, at half the
+        peak activation HBM — required to fit the full 25-frame 576x1024
+        video on a single 16 GB v5e chip. Identical math ONLY with
+        time_context_hw_major_quirk=False: batch rows are independent
+        through the UNet then, and the halves see the same cond
+        image/flow. With the quirk ON (the default) the split runs each
+        half at B=1, which disables the pairwise hw-major context quirk,
+        so outputs differ from both the batched path and the reference
+        (see traj_app --cfg_split help; test_pipeline_traj tests the
+        equivalence with the quirk off).
 
         step_chunk: run the Euler loop as ceil(steps/K) calls of ONE
         compiled K-step scan with the latent carry round-tripping through

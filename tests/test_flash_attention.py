@@ -70,6 +70,39 @@ def test_fixed_max_matches_naive(l):
                                    atol=5e-4, rtol=5e-4)
 
 
+def test_fixed_max_all_tiny_logits_no_nan():
+    """A row whose logits ALL underflow exp2 (base-2 logits < -126) must
+    return 0, not 0/0 NaN (ADVICE r2: the no-running-max path's one
+    failure mode the online-max softmax cannot hit)."""
+    b, l, h, d = 1, 256, 1, 64
+    # q rows scaled so every logit is ~ -1e5: exp2 underflows everywhere
+    q = jnp.full((b, l, h, d), -50.0, jnp.float32)
+    k = jnp.full((b, l, h, d), 50.0, jnp.float32)
+    v = jnp.ones((b, l, h, d), jnp.float32)
+    out = flash_attention(q, k, v, 128, 128, True)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_forced_flash_short_unaligned_seq():
+    """Explicit impl='flash' on a short sequence (temporal L=25): dispatch
+    floors block_k at 128 (pad+mask) so Pallas gets sublane-aligned blocks
+    (ADVICE r2)."""
+    from mofa_tpu.kernels import attention
+    b, l, h, d = 2, 25, 5, 64
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(kq, (b, l, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, l, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, l, h, d), jnp.float32)
+    attention.set_attention_impl("flash")
+    try:
+        out = attention.dot_product_attention(q, k, v)
+    finally:
+        attention.set_attention_impl("auto")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(naive(q, k, v)),
+                               atol=2e-5, rtol=2e-5)
+
+
 @pytest.mark.parametrize("shape", [(12, 7, 5, 64),   # SVD temporal, packs 3
                                    (7, 7, 5, 8),     # padding (7 % 3 != 0)
                                    (6, 25, 5, 16),   # 25-frame clip, nb=1

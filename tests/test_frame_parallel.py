@@ -27,8 +27,23 @@ def _unet_inputs(bundle):
 
 
 def test_frame_parallel_unet_matches_single_device():
+    _frame_parallel_parity(MICRO_UNET_CONFIG, atol=2e-3, rtol=2e-3)
+
+
+def test_frame_parallel_unet_matches_tight_quirk_off():
+    """With the hw-major time-context quirk OFF the cross-frame context
+    gather (and its resharding reduction order) is absent, so the sharding
+    machinery itself must match at 1e-4 — the tight bound that catches
+    real collective/shard bugs (ADVICE r2: don't let the quirk-on drift
+    allowance weaken the whole test)."""
+    cfg = dataclasses.replace(MICRO_UNET_CONFIG,
+                              time_context_hw_major_quirk=False)
+    _frame_parallel_parity(cfg, atol=1e-4, rtol=1e-4)
+
+
+def _frame_parallel_parity(cfg, atol, rtol):
     bundle = ModelBundle.init_random(
-        jax.random.PRNGKey(0), MICRO_UNET_CONFIG, TINY_VAE_CONFIG,
+        jax.random.PRNGKey(0), cfg, TINY_VAE_CONFIG,
         TINY_CLIP_CONFIG, image_size=(H, W), num_frames=T)
     sample, ehs, ids = _unet_inputs(bundle)
 
@@ -47,13 +62,14 @@ def test_frame_parallel_unet_matches_single_device():
         compiled = lowered.compile()
         got = np.asarray(compiled(bundle.unet_params, sample))
 
-    # sharded GSPMD reductions reassociate the norm-stat partial sums
-    # (E[x^2]-mean^2 GroupNorm), and the temporal cross-attn context gather
-    # (the pairwise hw-major quirk selects a context side per spatial
-    # position) reshards across the frames axis with its own reduction
-    # order: observed drift is ~7e-4 on O(1) activations. An actual
-    # sharding bug (wrong collective / misaligned shard) shows up at O(1).
-    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+    # quirk-on: sharded GSPMD reductions reassociate the norm-stat partial
+    # sums (E[x^2]-mean^2 GroupNorm), and the temporal cross-attn context
+    # gather (the pairwise hw-major quirk selects a context side per
+    # spatial position) reshards across the frames axis with its own
+    # reduction order: observed drift is ~7e-4 on O(1) activations.
+    # quirk-off: no gather, 1e-4. An actual sharding bug (wrong
+    # collective / misaligned shard) shows up at O(1).
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
 
     # the compiled module must contain cross-device collectives (the
     # temporal-attention frames<->tokens exchange)
