@@ -199,17 +199,20 @@ def main():
             "vs_baseline": round(fps / TARGET_FPS_PER_CHIP, 4),
         }
         # honest single-chip END-TO-END number (VERDICT r1 item 3): the
-        # full 25-frame/25-step 576x1024 video — CLIP+VAE encode, T=25
-        # denoise (cfg_split + 5-step program chunks; see pipelines/traj),
-        # chunked VAE decode — measured, not projected. Reuses the bundle.
+        # full 25-frame/25-step 576x1024 video — CMP flow completion,
+        # CLIP+VAE encode, T=25 denoise (cfg_split + 5-step program
+        # chunks; see pipelines/traj), chunked VAE decode — measured, not
+        # projected; phase times are medians of 2 reps (VERDICT r2 item
+        # 7). Reuses the bundle.
         if not os.environ.get("BENCH_SKIP_E2E"):
             try:
                 import bench_e2e
                 e2e = bench_e2e.run(H, W, T_E2E, STEPS, 8, dtype,
                                     verbose=bool(os.environ.get("BENCH_VERBOSE")),
-                                    bundle=bundle, n_time=1)
+                                    bundle=bundle, n_time=2)
                 out["e2e_seconds_single_chip_25f25s_576x1024"] = (
                     e2e["e2e_seconds_single_chip"])
+                out["e2e_cmp_s"] = e2e["cmp_s"]
                 out["e2e_denoise_s"] = e2e["denoise_s"]
                 out["e2e_decode_s"] = e2e["decode_s"]
                 out["e2e_encode_s"] = round(

@@ -117,9 +117,10 @@ class LandmarkFlowEngine:
         the whole clip is one batched MXU-friendly forward."""
         from mofa_tpu.models.cmp.model import cmp_preprocess
         from mofa_tpu.ops.flow import rescale_flow
+        from mofa_tpu.preprocess.traj import _cmp_apply_jit
         b, t = frames01_384.shape[:2]
         flat = lambda x: x.reshape((b * t,) + x.shape[2:])
-        flow = self.cmp.apply(self.cmp_params,
+        flow = _cmp_apply_jit(self.cmp, self.cmp_params,
                               cmp_preprocess(flat(frames01_384)),
                               flat(sparse_384), flat(mask_384))
         flow = flow.reshape((b, t) + flow.shape[1:])

@@ -15,8 +15,10 @@ Host-side (numpy/PIL) replica of the Traj gradio app's preprocessing
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,6 +85,14 @@ def prepare_trajectory_flow(tracks: Sequence[Sequence[tuple]],
     return s_flow.astype(np.float32), mask.astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("cmp",))
+def _cmp_apply_jit(cmp, params, image, sparse, mask):
+    """One compiled program for the CMP forward (module static — flax
+    modules are frozen dataclasses; params as ARGS so jit never bakes the
+    resnet50 weights in as constants, CLAUDE.md rule)."""
+    return cmp.apply(params, image, sparse, mask)
+
+
 class DragFlowEngine:
     """CMP sparse-to-dense completion + resize/scale, as one jit program."""
 
@@ -98,7 +108,8 @@ class DragFlowEngine:
         (run_gradio.py:236-258)."""
         b, t = frames01.shape[:2]
         flat = lambda x: x.reshape((b * t,) + x.shape[2:])
-        flow = self.cmp.apply(self.cmp_params, cmp_preprocess(flat(frames01)),
+        flow = _cmp_apply_jit(self.cmp, self.cmp_params,
+                              cmp_preprocess(flat(frames01)),
                               flat(sparse_flow), flat(mask))
         if brush_mask is not None:
             flow = flow * brush_mask[None, :, :, None]

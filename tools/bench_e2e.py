@@ -1,7 +1,9 @@
 """Honest single-chip END-TO-END benchmark: full 25-frame/25-step 576x1024
-video through the production TrajPipeline — CLIP+VAE encode, T=25 denoise
-(not the T=7 per-chip proxy bench.py times), chunked VAE decode, frame
-postprocess — with per-phase attribution.
+video through the production TrajPipeline — CMP sparse->dense flow
+completion (384x384, part of reference inference: run_gradio.py:236-277),
+CLIP+VAE encode, T=25 denoise (not the T=7 per-chip proxy bench.py times),
+chunked VAE decode, frame postprocess — with per-phase attribution. Each
+phase reports the MEDIAN of n_time post-warmup repetitions.
 
 The reference deployment semantics being timed:
 /root/reference/MOFA-Video-Traj/pipeline/pipeline.py:282-528 (25-step Euler
@@ -85,7 +87,8 @@ def fence(x):
 
 
 def run(h, w, t, steps, chunk, dtype, verbose=True, tiny=False,
-        cfg_split=True, step_chunk=5, bundle=None, n_time=2):
+        cfg_split=True, step_chunk=5, bundle=None, n_time=2,
+        include_cmp=True):
     from mofa_tpu.pipelines.traj import TrajPipeline
     from mofa_tpu.pipelines.common import (
         encode_clip_image, encode_vae_image, get_add_time_ids,
@@ -104,19 +107,54 @@ def run(h, w, t, steps, chunk, dtype, verbose=True, tiny=False,
     image01 = jnp.full((1, h, w, 3), 0.5, dtype)
     flow = jnp.zeros((1, t - 1, h, w, 2), dtype)
 
+    last = {}
+
     def timed(label, fn, n=n_time):
-        """fn() -> a fetchable array/tree; returns (compile_s, steady_s)."""
+        """fn() -> a fetchable array/tree; returns (compile_s, steady_s)
+        where steady is the MEDIAN of n post-warmup repetitions (a single
+        repetition is vulnerable to one-off tunnel/host stalls). The last
+        computed value is kept in last['out'] so callers can reuse it
+        without paying another device run."""
+        import statistics
         tc = time.perf_counter()
         fence(fn())
         compile_s = time.perf_counter() - tc
-        ts = time.perf_counter()
+        reps = []
         for _ in range(n):
-            fence(fn())
-        steady = (time.perf_counter() - ts) / n
-        log(f"{label}: compile+first {compile_s:.2f}s, steady {steady:.3f}s")
+            ts = time.perf_counter()
+            out = fn()
+            fence(out)
+            reps.append(time.perf_counter() - ts)
+        last["out"] = out
+        steady = statistics.median(reps)
+        log(f"{label}: compile+first {compile_s:.2f}s, steady {steady:.3f}s "
+            f"(median of {n}: {[round(r, 3) for r in reps]})")
         return compile_s, steady
 
     # --- phase timings (each phase's jit program timed alone) ---
+    # CMP sparse->dense flow completion IS part of reference inference
+    # (run_gradio.py:236-277 runs it before the pipeline): 384x384, all t
+    # frames through the full resnet50+SkipLayer CMP, flow rescaled to
+    # (h, w) — the controlnet_flow the denoise consumes.
+    cmp_s = 0.0
+    if include_cmp:
+        from mofa_tpu.models.cmp.model import CMP, CMPConfig, TINY_CMP_CONFIG, cmp_preprocess
+        from mofa_tpu.preprocess.traj import DragFlowEngine
+        ccfg = TINY_CMP_CONFIG if tiny else CMPConfig()
+        cmp = CMP(ccfg)
+        img384 = jnp.zeros((1, 384, 384, 3), jnp.float32)
+        sp384 = jnp.zeros((1, 384, 384, 2), jnp.float32)
+        cmp_shapes = jax.eval_shape(cmp.init, key, img384, sp384, sp384)
+        cmp_params = jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.01, s.dtype), cmp_shapes)
+        engine = DragFlowEngine(cmp_params, ccfg)
+        first384 = jnp.full((1, 384, 384, 3), 0.5, jnp.float32)
+        sparse = jnp.zeros((1, t, 384, 384, 2), jnp.float32)
+        mask = jnp.zeros((1, t, 384, 384, 2), jnp.float32)
+        _, cmp_s = timed(f"cmp_flow 384x384 x{t}",
+                         lambda: engine.get_flow(first384, sparse, mask, h, w))
+        del engine, cmp_params  # free CMP HBM before the big models run
+
     _, enc_clip = timed("encode_clip",
                         lambda: encode_clip_image(bundle, image01, do_cfg=True))
     _, enc_vae = timed("encode_vae",
@@ -151,7 +189,7 @@ def run(h, w, t, steps, chunk, dtype, verbose=True, tiny=False,
             return_latent=True, cfg_split=cfg_split)
 
     _, den = timed(f"denoise T={t} x{steps}", denoise)
-    out_latents = denoise()
+    out_latents = last["out"]
 
     def decode():
         return decode_latents_jit(bundle, out_latents, chunk)
@@ -160,11 +198,13 @@ def run(h, w, t, steps, chunk, dtype, verbose=True, tiny=False,
     _, post = timed("postprocess", lambda: postprocess_frames(decode()))
     post = max(post - dec, 0.0)
 
-    e2e = enc_clip + enc_vae + den + dec + post
+    e2e = cmp_s + enc_clip + enc_vae + den + dec + post
     return {
         "h": h, "w": w, "frames": t, "steps": steps, "cfg_split": cfg_split,
         "step_chunk": step_chunk,
         "decode_chunk": chunk, "dtype": str(jnp.dtype(dtype)),
+        "n_time": n_time,
+        "cmp_s": round(cmp_s, 3),
         "encode_clip_s": round(enc_clip, 3),
         "encode_vae_s": round(enc_vae, 3),
         "denoise_s": round(den, 3),
