@@ -14,6 +14,18 @@ Conversion rules:
   actual Flax param tree, greedily joining tokens (handles both nested
   modules and flattened names like `down_blocks_0_resnets_1`) and probing
   wrapper levels (`Conv_0`, `Dense_0`).
+
+Coverage caveat (environment-limited): this image has no model weights,
+so every converter is golden-tested by round-tripping RANDOM torch state
+dicts produced by the reference module code (the same key layout and
+shapes a real checkpoint has) — the full real files
+(`svd_xt.safetensors`, `GFPGANv1.4.pth`, `alignment_WFLW_4HG.pth`,
+`ckpt_iter_*.pth.tar`, ...) have never been loaded here. Torch-side
+quirks a random-state-dict round trip cannot see (extra EMA wrapper keys
+beyond {params_ema, params, state_dict}, torch.save pickling variants)
+would surface as strict-mode unmatched-key errors, not silent numeric
+corruption: `convert_torch_state_dict(strict=True)` (the default) raises
+on any unconsumed or unmatched key.
 """
 
 from __future__ import annotations
