@@ -85,6 +85,21 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
         if (q.shape[1] == k.shape[1] and q.shape[1] <= PACK_MAX_SEQ
                 and q.shape[1] * q.shape[2] <= PACK_MAX_FOLDED
                 and q.shape[0] > 1):
+            import os
+            from mofa_tpu.kernels.short_attention import (
+                short_attention, short_attention_applicable)
+            if (os.environ.get("MOFA_SHORT_ATTN", "") != "0"
+                    and short_attention_applicable(
+                        q.shape[0], q.shape[1], k.shape[1], q.shape[2],
+                        q.shape[3])):
+                # VMEM-resident Pallas kernel: one q/k/v read + one out
+                # write vs the packed-XLA path's fp32 [rows, rows]
+                # logits+probs HBM round trips plus full-relayout
+                # reshapes. MOFA_FIXED_MAX_SOFTMAX=0 opts the temporal
+                # kernel (like flash) back into the exact max-subtracted
+                # softmax.
+                fixed = os.environ.get("MOFA_FIXED_MAX_SOFTMAX", "") != "0"
+                return short_attention(q, k, v, 0, fixed)
             return _packed_short_attention(q, k, v)
         big = q.shape[1] * k.shape[1] >= FLASH_MIN_SEQ ** 2
         impl = "flash" if big else "xla"

@@ -24,6 +24,17 @@ from jax.experimental import pallas as pl
 
 # v5e sweep at the SVD spatial shape (L=9216, 5 heads, d=64, bf16):
 # (256,512) 29.6ms, (512,512) 28.2ms, (512,1024) 26.8ms <- best
+#
+# head_dim=64 vs the 128-wide MXU contraction: measured on-chip
+# (tools/bench_packing.py), a K=64 matmul runs at exactly HALF the
+# useful rate of K=128 (35 vs 66 TF/s — the MXU pads the contraction to
+# 128 lanes), and the block-diagonal two-head packing
+# (Q[BQ,128]=[q0|q1], K[2BK,128]=[[k0,0],[0,k1]]) recovers NOTHING
+# (32 TF/s): it performs the identical padded MAC-slot count
+# BQ*2BK*128 == 2*(BQ*BK*128). The D=64 padding is therefore a
+# structural ceiling of exact SVD attention on this MXU, not harvestable
+# headroom; at 17.8 ms (84 TF/s) this kernel sits ~86% of that padded
+# roofline (~15.4 ms).
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30

@@ -1,0 +1,186 @@
+"""Pallas TPU attention for SHORT sequences (SVD temporal attention).
+
+The SVD temporal self-attention is [B*HW, T, H, D] with T <= 25 — tiny
+compute, giant batch. The XLA packed formulation
+(kernels/attention.py::_packed_short_attention) folds nb batch elements
+and H heads into one masked [rows, rows] attention, which is MXU-shaped
+but materializes fp32 logits AND probs in HBM: at the 576x1024 bench
+shape that is 2 x ~350 MB per site (f32[6144,105,105] round trips,
+~2.1 ms) plus full-relayout reshapes ([18432,7,320] -> [6144,105,64],
+~1.0 ms) — ~3.5 ms per site where the optimal is one q/k/v read + one
+out write (~0.45 ms). Device trace: tools/trace_step.py --full_names.
+
+This kernel keeps the [rows, rows] logits in VMEM: grid over blocks of
+BN sequences, each kernel instance loads q/k/v [BN*L, H*D] (the NATURAL
+layout coming out of the to_q/k/v projections — zero reshapes), loops
+over heads with lane slices, computes the block-diagonal-masked softmax
+attention in fp32 on-core, and writes only the output. HBM traffic is
+exactly 3 reads + 1 write of the activation.
+
+Reference semantics match (/root/reference/MOFA-Video-Traj/models/
+controlnet_sdv.py via diffusers TemporalBasicTransformerBlock):
+plain softmax(QK^T/sqrt(D))V per (batch row, head), fp32 softmax.
+
+Backward (training) recomputes through the plain-jnp reference via
+jax.custom_vjp, like kernels/geglu_ffn.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG_INF = -1e30
+# rows per kernel instance: the kernel is VPU-bound (exp over the
+# [rows, rows] block-diagonal tile, rows/L-fold redundant), so smaller
+# blocks win until grid overhead bites. v5e sweep at the SVD temporal
+# shapes (tools/bench_short_attn.py): 224 best at /8 (3.35 vs 4.21 ms
+# packed-XLA), /16 (2.14 vs 2.80), /32 (1.30 vs 2.38), T25 (3.25 vs 3.94)
+_TARGET_ROWS = 224
+MAX_SHORT_SEQ = 32
+
+_LOG2E = 1.4426950408889634
+# exp2 clamp (base-2 logits): exact vs the max-subtracted softmax for
+# natural logits <= 55 (trained attention sits within +-30); guards fp32
+# exp2 overflow above. Same tradeoff as the flash kernel's fixed-max
+# default (kernels/flash_attention.py).
+_FIXED_MAX_CLAMP = 80.0
+
+
+def short_attention_applicable(b: int, l_q: int, l_k: int, h: int,
+                               d: int) -> bool:
+    """True when this kernel handles the attention shape well."""
+    if jax.default_backend() != "tpu":
+        return False
+    from mofa_tpu.parallel.activation import is_sharded_execution
+    if is_sharded_execution():
+        # pallas_call is opaque to the SPMD partitioner; the packed-XLA
+        # path partitions cleanly over the sharded batch dim
+        return False
+    if l_q != l_k or l_q > MAX_SHORT_SEQ or d > 128:
+        return False
+    # need at least one full block of sequences to be worth a kernel
+    return b * l_q >= _TARGET_ROWS
+
+
+def _short_attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, h: int,
+                       d: int, scale: float, fixed_max: bool):
+    """One block: q/k/v/o refs [BN*L, H*D]; bias_ref [BN*L, BN*L] is the
+    precomputed block-diagonal mask (grid-invariant input — loaded once,
+    no per-step iota/int-div VPU work). Per head: lane-slice, masked
+    softmax attention, all buffers VMEM-resident.
+
+    fixed_max drops the row-max pass (clamped base-2 exp, like the flash
+    kernel's default) and normalizes AFTER the PV matmul — the divide
+    runs over [rows, D] instead of [rows, rows]. Unnormalized bf16 probs
+    lose nothing (bf16 precision is scale-free, max 2^128 >> 2^80)."""
+    bias = bias_ref[:]
+    scale2 = scale * _LOG2E
+
+    for hh in range(h):
+        sl = pl.ds(hh * d, d)
+        qh = q_ref[:, sl]
+        kh = k_ref[:, sl]
+        vh = v_ref[:, sl]
+        if fixed_max:
+            logits = scale2 * jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) + bias  # base-2 logits
+            p = jnp.exp2(jnp.minimum(logits, _FIXED_MAX_CLAMP))
+            # all-masked rows can't occur (a row always sees its own
+            # sequence), but guard underflow like flash does
+            s = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            acc = jax.lax.dot_general(
+                p.astype(qh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [rows, D]
+            o_ref[:, sl] = (acc / s).astype(o_ref.dtype)
+            continue
+        logits = scale * jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + bias      # [rows, rows]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        probs = (p / s).astype(qh.dtype)
+        o_ref[:, sl] = jax.lax.dot_general(
+            probs, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("l", "h", "d", "block_rows",
+                                    "fixed_max"))
+def _short_attn_fwd(q2, k2, v2, l: int, h: int, d: int,
+                    block_rows: int = 0, fixed_max: bool = False):
+    """q2/k2/v2 [B*L, H*D] (B*L divisible by block rows after padding)."""
+    rows_total, hd = q2.shape
+    b = rows_total // l
+    # block rows bn*l must be a multiple of the bf16 sublane tile (16);
+    # the lane dim is fine at any size because the block spans it fully
+    bn = max(1, (block_rows or _TARGET_ROWS) // l)
+    while (bn * l) % 16:
+        bn += 1
+    pad_seqs = (-b) % bn
+    if pad_seqs:
+        q2, k2, v2 = (jnp.pad(x, ((0, pad_seqs * l), (0, 0)))
+                      for x in (q2, k2, v2))
+    grid = ((b + pad_seqs) // bn,)
+    br = bn * l
+    # block-diagonal mask, computed once on the host side of the jit
+    r = jnp.arange(br) // l
+    bias = jnp.where(r[:, None] == r[None, :], 0.0, NEG_INF
+                     ).astype(jnp.float32)
+    kernel = functools.partial(_short_attn_kernel, h=h, d=d,
+                               scale=d ** -0.5, fixed_max=fixed_max)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((br, hd), lambda i: (i, 0))] * 3
+        + [pl.BlockSpec((br, br), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((br, hd), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(((b + pad_seqs) * l, hd), q2.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(q2, k2, v2, bias)
+    return out[:rows_total] if pad_seqs else out
+
+
+def _short_attn_ref(q, k, v):
+    """Plain-jnp reference ([B, L, H, D]), fp32 softmax — identical math
+    to attention.py's naive path."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def short_attention(q, k, v, block_rows: int = 0,
+                    fixed_max: bool = False):
+    """[B, L, H, D] q/k/v (L <= 32) -> [B, L, H, D]; fp32 softmax.
+
+    The [B, L, H, D] -> [B*L, H*D] flatten is layout-free (row-major),
+    so the kernel sees the projections' natural output layout.
+    block_rows overrides the 224-row default block (swept on-chip in
+    tools/bench_short_attn.py); fixed_max selects the clamped
+    no-running-max softmax (exact for natural logits <= 55)."""
+    b, l, h, d = q.shape
+    out = _short_attn_fwd(q.reshape(b * l, h * d), k.reshape(b * l, h * d),
+                          v.reshape(b * l, h * d), l, h, d, block_rows,
+                          fixed_max)
+    return out.reshape(b, l, h, d)
+
+
+def _fwd_rule(q, k, v, block_rows, fixed_max):
+    return short_attention(q, k, v, block_rows, fixed_max), (q, k, v)
+
+
+def _bwd_rule(block_rows, fixed_max, res, g):
+    _, vjp = jax.vjp(_short_attn_ref, *res)
+    return vjp(g)
+
+
+short_attention.defvjp(_fwd_rule, _bwd_rule)

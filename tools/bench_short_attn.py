@@ -1,0 +1,70 @@
+"""Microbench short-sequence attention: Pallas kernel vs packed-XLA.
+
+Shapes are the SVD temporal self-attention sites at the 576x1024 bench
+config (CFG2 x T7) and the keypoint window (T25).
+
+Usage: python -u tools/bench_short_attn.py > /tmp/short_attn.txt 2>&1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from mofa_tpu.kernels.attention import _packed_short_attention
+from mofa_tpu.kernels.short_attention import short_attention
+
+
+def timeit(fn, args, iters=30):
+    @jax.jit
+    def run(a):
+        def body(c, _):
+            x = (a[0] + c.astype(a[0].dtype),) + a[1:]
+            o = fn(*x)
+            return jnp.float32(jnp.sum(o.astype(jnp.float32)) * 1e-30), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return c
+    try:
+        float(run(args))
+    except Exception as e:  # noqa: BLE001
+        return None, str(e).splitlines()[0][:100]
+    t0 = time.perf_counter()
+    float(run(args))
+    return (time.perf_counter() - t0) / iters * 1e3, None
+
+
+def main():
+    shapes = [
+        ("/8  T7 H5", (2 * 9216, 7, 5, 64)),
+        ("/16 T7 H10", (2 * 2304, 7, 10, 64)),
+        ("/32 T7 H20", (2 * 576, 7, 20, 64)),
+        ("kp  T25 H5", (2 * 2304, 25, 5, 64)),
+    ]
+    key = jax.random.PRNGKey(0)
+    for name, shape in shapes:
+        ks = jax.random.split(key, 3)
+        q, k, v = (jax.random.normal(kk, shape, jnp.bfloat16) for kk in ks)
+        mb = q.size * 2 / 1e6
+        variants = [(f"pallas br{br}{' fx' if fx else '   '}",
+                     (lambda br_, fx_: lambda a, b, c: short_attention(
+                         a, b, c, br_, fx_))(br, fx))
+                    for br in (112, 224, 336)
+                    for fx in (False, True)]
+        variants.append(("packed", _packed_short_attention))
+        for label, fn in variants:
+            ms, err = timeit(fn, (q, k, v))
+            if ms is None:
+                print(f"{name} {label}: FAILED {err}", flush=True)
+            else:
+                print(f"{name} {label}: {ms:7.3f} ms "
+                      f"({4 * mb / ms:.0f} GB/s qkv+out)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

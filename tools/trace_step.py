@@ -23,8 +23,12 @@ import jax
 import jax.numpy as jnp
 
 
-def parse_xplane(logdir: str, top: int = 40):
-    """Sum device-plane event durations by HLO op name."""
+def parse_xplane(logdir: str, top: int = 40, full_names: bool = False):
+    """Sum device-plane event durations by HLO op name.
+
+    full_names=True keeps the unique HLO instruction name (e.g.
+    convert_reduce_fusion.123) so individual ops can be matched against
+    the dumped optimized HLO text for shape attribution."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     import re
@@ -48,9 +52,12 @@ def parse_xplane(logdir: str, top: int = 40):
                     continue
                 for ev in line.events:
                     hlo = ev_names[ev.metadata_id].name
-                    # "%convolution_add_fusion.30 = ..." -> op category
-                    m = re.match(r"%([a-zA-Z_-]+)", hlo)
-                    name = m.group(1).rstrip(".") if m else hlo[:40]
+                    if full_names:
+                        name = hlo.lstrip("%")
+                    else:
+                        # "%convolution_add_fusion.30 = ..." -> op category
+                        m = re.match(r"%([a-zA-Z_-]+)", hlo)
+                        name = m.group(1).rstrip(".") if m else hlo[:40]
                     dur = ev.duration_ps / 1e9  # ps -> ms
                     totals[name] += dur
                     counts[name] += 1
@@ -75,10 +82,15 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/mofa_trace")
     ap.add_argument("--parse_only", action="store_true")
+    ap.add_argument("--full_names", action="store_true",
+                    help="per-instruction table (match against --hlo_out)")
+    ap.add_argument("--hlo_out", default="",
+                    help="dump optimized HLO text here (same-process "
+                         "compile cache makes this nearly free)")
     args = ap.parse_args()
 
     if args.parse_only:
-        parse_xplane(args.logdir, args.top)
+        parse_xplane(args.logdir, args.top, args.full_names)
         return
 
     from mofa_tpu.models.svd_unet import (SVDUNetConfig,
@@ -110,11 +122,20 @@ def main():
     ids2 = jnp.zeros((2, 3), dtype)
 
     @jax.jit
-    def fwd(params, lat):
+    def fwd_jit(params, lat):
         return jnp.float32(jnp.sum(
             unet.apply(params, lat, 500.0, ehs2, ids2).astype(jnp.float32)))
 
     t0 = time.perf_counter()
+    if args.hlo_out:
+        # AOT: one compile serves both the HLO text dump and the run
+        compiled = fwd_jit.lower(params, lat2).compile()
+        with open(args.hlo_out, "w") as f:
+            f.write(compiled.as_text())
+        print(f"optimized HLO -> {args.hlo_out}", flush=True)
+        fwd = compiled
+    else:
+        fwd = fwd_jit
     float(fwd(params, lat2))
     print(f"compile+warmup {time.perf_counter() - t0:.0f}s", flush=True)
 
@@ -125,7 +146,7 @@ def main():
     float(out)
     jax.profiler.stop_trace()
     print("trace captured", flush=True)
-    parse_xplane(args.logdir, args.top)
+    parse_xplane(args.logdir, args.top, args.full_names)
 
 
 if __name__ == "__main__":
