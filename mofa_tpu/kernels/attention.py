@@ -13,9 +13,10 @@ import jax.numpy as jnp
 
 _IMPL = "auto"
 
-# flash beats XLA attention from ~2304 tokens up on v5e (6.9 vs 11.6 ms at
-# L=2304/10 heads) and is mandatory at 9216 where naive logits don't fit
-FLASH_MIN_SEQ = 2304
+# flash beats XLA attention from 576 tokens up on v5e (1.81 vs 2.12 ms at
+# L=576/20 heads with bq=128; 3.4 vs 9.7 ms at L=2304/10 heads) and is
+# mandatory at 9216 where naive logits don't fit
+FLASH_MIN_SEQ = 576
 
 # below this sequence length, batched attention lowers to huge numbers of
 # tiny LxL matmuls that strand the MXU — use the packed formulation
@@ -124,12 +125,14 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
         fixed = os.environ.get("MOFA_FIXED_MAX_SOFTMAX", "") != "0"
         # block sweep (fixed-max): bq=256 with the K side in half/whole
         # blocks wins — (256, 4608) 17.8 ms at L=9216, (256, 2304) 2.8 ms
-        # at L=2304 (vs (512, 1024) 19.5/3.2). _flash_fwd shrinks bk to a
-        # divisor of L automatically. Floor bk at 128 so a forced
-        # impl="flash" on short sequences (e.g. temporal L=25) still gets a
-        # sublane-aligned Pallas block (pad+mask) instead of block_k=25,
-        # which Mosaic may refuse to compile on real TPU.
-        bq, bk = 256, max(128, min(k.shape[1], 4608))
+        # at L=2304 (vs (512, 1024) 19.5/3.2); at L=576 bq=128 edges out
+        # bq=256 (1.81 vs 1.93 ms). _flash_fwd shrinks bk to a divisor of
+        # L automatically. Floor bk at 128 so a forced impl="flash" on
+        # short sequences (e.g. temporal L=25) still gets a sublane-
+        # aligned Pallas block (pad+mask) instead of block_k=25, which
+        # Mosaic may refuse to compile on real TPU.
+        bq = 128 if q.shape[1] < 2304 else 256
+        bk = max(128, min(k.shape[1], 4608))
         # positional: custom_vjp + nondiff_argnums rejects kwargs
         return flash_attention(q, k, v, bq, bk, fixed)
     if impl == "xla":

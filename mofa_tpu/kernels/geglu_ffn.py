@@ -26,6 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # token-block rows per grid step: VMEM peak at C=320 is ~7 MB
 # (w0 1.6 + w2 0.8 + h fp32 2.6 + act 1.3 + x/out blocks)
@@ -184,11 +185,100 @@ def _ln_ffn_kernel(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref, b2_ref,
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-@jax.jit
-def _ln_ffn_fwd(x2, ls, lb, w0, b0, w2, b2):
+def _ln_ffn_kernel_pipe(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref,
+                        b2_ref, o_ref, h_scr, x_scr, *, n_blocks: int):
+    """Software-pipelined variant: grid step i runs stage A (LN + first
+    GEMM) for block i and stage B (gelu-gate + second GEMM + residual)
+    for block i-1 from VMEM scratch. A's MXU work and B's VPU gelu have
+    no data dependence inside a step, so the scheduler can overlap them
+    (the plain kernel serializes matmul1 -> gelu -> matmul2, leaving the
+    MXU idle through ~1 ms of VPU transcendentals per block).
+
+    Grid is n_blocks+1: i==0 runs only A, i==n_blocks only B. Scratch is
+    double-buffered on grid parity; the out BlockSpec maps step i to
+    block i-1 (clamped at 0 — that write is skipped)."""
+    i = pl.program_id(0)
+    par = i % 2
+
+    @pl.when(i < n_blocks)
+    def stage_a():
+        x = x_ref[:]                                       # [BR, C] bf16
+        xf = x.astype(jnp.float32)
+        c = xf.shape[-1]
+        mean = jnp.sum(xf, axis=-1, keepdims=True) / c
+        meansq = jnp.sum(xf * xf, axis=-1, keepdims=True) / c
+        var = jnp.maximum(meansq - mean * mean, 0.0)
+        ln = (xf - mean) * jax.lax.rsqrt(var + LN_EPS)
+        h_in = (ln * ls_ref[:].astype(jnp.float32)
+                + lb_ref[:].astype(jnp.float32)).astype(x.dtype)
+        h = jax.lax.dot_general(
+            h_in, w0_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h_scr[par] = h + b0_ref[:].astype(jnp.float32)
+        x_scr[par] = x
+
+    @pl.when(i > 0)
+    def stage_b():
+        h = h_scr[1 - par]
+        inner = h.shape[-1] // 2
+        a = h[:, :inner]
+        g = h[:, inner:]
+        xs = g * 0.7071067811865476
+        ax = jnp.abs(xs)
+        t = 1.0 / (1.0 + 0.3275911 * ax)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (
+            1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+        erf = jnp.sign(xs) * (1.0 - poly * jnp.exp(-ax * ax))
+        act = (a * (0.5 * g * (1.0 + erf))).astype(o_ref.dtype)
+        out = jax.lax.dot_general(
+            act, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + b2_ref[:].astype(jnp.float32) \
+            + x_scr[1 - par].astype(jnp.float32)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+# measured on-chip via tools/bench_ffn.py --pipe; see module docstring
+_PIPELINED = True
+
+
+@functools.partial(jax.jit, static_argnames=("pipelined",))
+def _ln_ffn_fwd(x2, ls, lb, w0, b0, w2, b2, pipelined: bool = None):
     r, c = x2.shape
     two_i = w0.shape[1]
     br = _BLOCK_ROWS[c]
+    n_blocks = r // br
+    if pipelined is None:
+        pipelined = _PIPELINED
+    if pipelined and jax.default_backend() == "tpu":
+        kernel = functools.partial(_ln_ffn_kernel_pipe, n_blocks=n_blocks)
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks + 1,),
+            in_specs=[
+                # clamp: at the drain step (i == n_blocks) stage A is
+                # skipped but the block DMA still prefetches — an
+                # unclamped index reads one block past the array
+                pl.BlockSpec((br, c),
+                             lambda i: (jnp.minimum(i, n_blocks - 1), 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((c, two_i), lambda i: (0, 0)),
+                pl.BlockSpec((1, two_i), lambda i: (0, 0)),
+                pl.BlockSpec((two_i // 2, c), lambda i: (0, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (br, c), lambda i: (jnp.maximum(i - 1, 0), 0)),
+            out_shape=jax.ShapeDtypeStruct((r, c), x2.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, br, two_i), jnp.float32),
+                pltpu.VMEM((2, br, c), x2.dtype),
+            ],
+            interpret=False,
+        )(x2, ls.reshape(1, -1), lb.reshape(1, -1), w0, b0.reshape(1, -1),
+          w2, b2.reshape(1, -1))
+        return out
     out = pl.pallas_call(
         _ln_ffn_kernel,
         grid=(r // br,),

@@ -17,7 +17,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from mofa_tpu.kernels.geglu_ffn import ln_geglu_ffn, _ln_ffn_ref, _BLOCK_ROWS
+from mofa_tpu.kernels.geglu_ffn import (ln_geglu_ffn, _ln_ffn_ref,
+                                        _ln_ffn_fwd, _BLOCK_ROWS)
+
+
+def _kernel_variant(pipelined):
+    def fn(x, ls, lb, w0, b0, w2, b2):
+        dt = x.dtype
+        return _ln_ffn_fwd(x, ls.astype(jnp.float32), lb.astype(jnp.float32),
+                           w0.astype(dt), b0.astype(dt), w2.astype(dt),
+                           b2.astype(dt), pipelined=pipelined)
+    return fn
 
 
 def timeit(fn, args, iters=30):
@@ -52,7 +62,17 @@ def main():
         b2 = jax.random.normal(ks[6], (c,), jnp.float32) * 0.05
         args = (x, ls, lb, w0, b0, w2, b2)
         mb = x.size * 2 / 1e6
-        for name, fn in [("fused", ln_geglu_ffn), ("unfused", _ln_ffn_ref)]:
+        if jax.default_backend() == "tpu":
+            import numpy as np
+            a = np.asarray(_kernel_variant(False)(*args), np.float32)
+            b = np.asarray(_kernel_variant(True)(*args), np.float32)
+            err = float(np.max(np.abs(a - b)))
+            print(f"rows={rows:7d} C={c} pipe-vs-plain max abs err {err:.2e}",
+                  flush=True)
+            assert err < 1e-2, "pipelined kernel diverges"
+        for name, fn in [("fused", _kernel_variant(False)),
+                         ("fused_pipe", _kernel_variant(True)),
+                         ("unfused", _ln_ffn_ref)]:
             ms = timeit(fn, args)
             print(f"rows={rows:7d} C={c} {name:8s} {ms:7.3f} ms "
                   f"({2 * mb / ms:.0f} GB/s eff)", flush=True)
