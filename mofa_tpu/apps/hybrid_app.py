@@ -43,6 +43,16 @@ def build_parser():
     p.add_argument("--decode_chunk_size", type=int, default=8)
     p.add_argument("--frame_parallel", action="store_true",
                    help="shard the denoise over all devices' frames axis")
+    p.add_argument("--cfg_split", action="store_true",
+                   help="sequential CFG halves (half peak activation HBM; "
+                        "needed for the dual-adapter path at 576x1024 on "
+                        "one 16 GB chip). Identical to the batched path "
+                        "only with the pairwise hw-major time-context "
+                        "quirk off")
+    p.add_argument("--step_chunk", type=int, default=None,
+                   help="host-chunked Euler loop: one compiled K-step "
+                        "program re-invoked with the carry (keeps device "
+                        "programs under the tunnel watchdog; exact)")
     p.add_argument("--tiny", action="store_true",
                    help="micro model configs (smoke tests; no real weights)")
     from mofa_tpu.apps.instrument import add_observability_args
@@ -131,7 +141,9 @@ def _run(args, timer):
                          ctrl_scale_ldmk=args.ctrl_scale_ldmk,
                          ctrl_scale_traj=args.ctrl_scale_traj,
                          decode_chunk_size=args.decode_chunk_size,
-                         key=jax.random.PRNGKey(args.seed))
+                         key=jax.random.PRNGKey(args.seed),
+                         cfg_split=args.cfg_split,
+                         step_chunk=args.step_chunk)
         frames = jax.block_until_ready(frames)
     with timer.phase("write"):
         write_video(np.asarray(frames)[0], args.output, fps=args.fps)

@@ -47,6 +47,13 @@ def build_parser():
     p.add_argument("--small_programs", action="store_true",
                    help="jit per window step instead of one scan-of-scans "
                         "program (lighter compile; long videos)")
+    p.add_argument("--cfg_split", action="store_true",
+                   help="run each window step's CFG halves sequentially "
+                        "(half peak activation HBM; needed for 576x1024 "
+                        "windows on one 16 GB chip). Requires "
+                        "--small_programs and window_batch=1; identical to "
+                        "the batched path only with the pairwise hw-major "
+                        "time-context quirk off")
     p.add_argument("--frame_parallel", action="store_true",
                    help="shard the denoise over all devices' frames axis")
     p.add_argument("--tiny", action="store_true",
@@ -113,7 +120,8 @@ def _run(args, timer):
                          controlnet_cond_scale=args.ctrl_scale,
                          decode_chunk_size=args.decode_chunk_size,
                          key=jax.random.PRNGKey(args.seed),
-                         window_batch=args.window_batch)
+                         window_batch=args.window_batch,
+                         cfg_split=args.cfg_split)
         frames = jax.block_until_ready(frames)
     with timer.phase("write"):
         write_video(np.asarray(frames)[0], args.output, fps=args.fps)

@@ -42,6 +42,9 @@ def build_parser():
     p.add_argument("--fps", type=int, default=25)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--cfg_split", action="store_true",
+                   help="forwarded to keypoint_app (implies "
+                        "--small_programs there)")
     p.add_argument("--tiny", action="store_true")
     return p
 
@@ -86,6 +89,8 @@ def run(args):
             kp_args += [flag, val]
     if args.bf16:
         kp_args += ["--bf16"]
+    if args.cfg_split:
+        kp_args += ["--cfg_split", "--small_programs"]
     if args.tiny:
         kp_args += ["--tiny"]
     keypoint_app.main(kp_args)

@@ -62,9 +62,20 @@ class HybridPipeline:
                  decode_chunk_size: int = 8,
                  key: Optional[jax.Array] = None,
                  latents: Optional[jnp.ndarray] = None,
-                 output_type: str = "np"):
+                 output_type: str = "np",
+                 cfg_split: bool = False,
+                 step_chunk: Optional[int] = None):
         """image01 [B,H,W,3]; controlnet_flow/drag_flow [B,T-1,H,W,2];
-        landmarks [B,T,H,W,3]; face_mask [B,H,W,1] in {0,1}."""
+        landmarks [B,T,H,W,3]; face_mask [B,H,W,1] in {0,1}.
+
+        cfg_split / step_chunk: same semantics as TrajPipeline (sequential
+        CFG halves at half the activation HBM; host-chunked Euler loop of
+        one compiled K-step program for watchdog-bounded device programs).
+        Both are required to run the dual-adapter path at the full
+        576x1024 / T=25 deployment point on one 16 GB v5e chip. As in
+        traj, cfg_split is bit-identical to the batched path only with
+        time_context_hw_major_quirk=False (the split halves run at B=1,
+        which disables the pairwise hw-major context quirk)."""
         b = image01.shape[0]
         t = landmarks.shape[1]
         h, w = image01.shape[1:3]
@@ -99,15 +110,24 @@ class HybridPipeline:
         sigmas = jnp.asarray(sched.sigmas)
         timesteps = jnp.asarray(sched.timesteps)
 
-        out = self._denoise_and_decode(
-            self.bundle.unet_params, self.bundle.controlnet_params,
-            self.bundle.controlnet2_params, self.bundle.vae_params,
-            latents, image_latents, image_embeddings, added_time_ids,
-            cond_image, flow_cfg, drag_cfg, ldmk_cfg, face_mask, guidance,
-            sigmas, timesteps, jnp.float32(ctrl_scale_ldmk),
-            jnp.float32(ctrl_scale_traj),
-            num_steps=num_inference_steps, decode_chunk_size=decode_chunk_size,
-            return_latent=True)
+        if step_chunk is not None and step_chunk < num_inference_steps:
+            out = self._denoise_stepchunked(
+                latents, image_latents, image_embeddings, added_time_ids,
+                cond_image, flow_cfg, drag_cfg, ldmk_cfg, face_mask, guidance,
+                sigmas, timesteps, jnp.float32(ctrl_scale_ldmk),
+                jnp.float32(ctrl_scale_traj), num_inference_steps,
+                step_chunk, cfg_split)
+        else:
+            out = self._denoise_and_decode(
+                self.bundle.unet_params, self.bundle.controlnet_params,
+                self.bundle.controlnet2_params, self.bundle.vae_params,
+                latents, image_latents, image_embeddings, added_time_ids,
+                cond_image, flow_cfg, drag_cfg, ldmk_cfg, face_mask, guidance,
+                sigmas, timesteps, jnp.float32(ctrl_scale_ldmk),
+                jnp.float32(ctrl_scale_traj),
+                num_steps=num_inference_steps,
+                decode_chunk_size=decode_chunk_size,
+                return_latent=True, cfg_split=cfg_split)
         if output_type == "latent":
             return out, controlnet_flow
         frames = decode_latents_jit(self.bundle, out, decode_chunk_size,
@@ -115,14 +135,15 @@ class HybridPipeline:
         return postprocess_frames(frames), controlnet_flow
 
     @functools.partial(jax.jit, static_argnames=(
-        "self", "num_steps", "decode_chunk_size", "return_latent"))
+        "self", "num_steps", "decode_chunk_size", "return_latent",
+        "cfg_split"))
     def _denoise_and_decode(self, unet_params, face_params, drag_params,
                             vae_params, latents, image_latents,
                             image_embeddings, added_time_ids, cond_image,
                             flow_cfg, drag_cfg, ldmk_cfg, face_mask, guidance,
                             sigmas, timesteps, scale_ldmk, scale_traj, *,
                             num_steps: int, decode_chunk_size: int,
-                            return_latent: bool):
+                            return_latent: bool, cfg_split: bool = False):
         import contextlib
         from mofa_tpu.parallel.activation import frame_parallel
         ctx = (frame_parallel(self.mesh) if self.mesh is not None
@@ -133,15 +154,112 @@ class HybridPipeline:
                 image_latents, image_embeddings, added_time_ids, cond_image,
                 flow_cfg, drag_cfg, ldmk_cfg, face_mask, guidance, sigmas,
                 timesteps, scale_ldmk, scale_traj, num_steps,
-                decode_chunk_size, return_latent)
+                decode_chunk_size, return_latent, cfg_split)
+
+    def _encode_injects_traced(self, face_params, drag_params, cond_image,
+                               flow_cfg, drag_cfg, ldmk_cfg):
+        """Step-independent warped feature stacks for BOTH adapters
+        (warp once per video; occlusion masks are diagnostics, dropped)."""
+        face_cn, drag_cn = self.bundle.controlnet, self.bundle.controlnet2
+        inject_face, _ = face_cn.apply(
+            face_params, cond_image, flow_cfg, ldmk_cfg,
+            method=type(face_cn).encode_features)
+        inject_drag = drag_cn.apply(
+            drag_params, cond_image, drag_cfg,
+            method=type(drag_cn).encode_features)
+        return list(inject_face), list(inject_drag)
+
+    def _make_step_fn(self, unet_params, face_params, drag_params,
+                      inject_face, inject_drag, image_latents,
+                      image_embeddings, added_time_ids, face_mask, guidance,
+                      sigmas, timesteps, scale_ldmk, scale_traj, num_steps,
+                      cfg_split, cd):
+        """Shared Euler-step body (full-scan and step-chunked paths).
+
+        step_fn(lat, idx) takes a GLOBAL step index; idx >= num_steps is a
+        masked no-op so a ragged step_chunk tail reuses the program."""
+        bundle = self.bundle
+        face_cn, drag_cn = bundle.controlnet, bundle.controlnet2
+        b2 = image_latents.shape[0]          # 2B batched path
+        b = b2 // 2
+
+        def model_call(latent_in, ts, ehs, ids):
+            down_face, mid_face = face_cn.apply(
+                face_params, latent_in, ts, ehs, ids,
+                conditioning_scale=scale_ldmk,
+                precomputed_features=inject_face)
+            down_drag, mid_drag = drag_cn.apply(
+                drag_params, latent_in, ts, ehs, ids,
+                conditioning_scale=scale_traj,
+                precomputed_features=inject_drag)
+
+            # residuals are [(nB*T), h, w, c] with nB in {B, 2B}; the mask
+            # pyramid (one nearest resize per resolution,
+            # pipeline.py:478-488) is loop-invariant — XLA hoists it out
+            # of the scan
+            t = latent_in.shape[1]
+            n = latent_in.shape[0]
+
+            def blend_bt(rf, rd):
+                hw = rf.shape[1:3]
+                m = resize_nhwc(face_mask, hw, method="nearest")
+                m = jnp.repeat(m, t, axis=0)                  # [B*T, h, w, 1]
+                if n * t != m.shape[0]:
+                    m = jnp.concatenate([m] * 2, axis=0)      # CFG batch
+                return rf * m + rd * (1.0 - m)
+
+            down_res = tuple(blend_bt(f, d)
+                             for f, d in zip(down_face, down_drag))
+            mid_res = blend_bt(mid_face, mid_drag)
+
+            return bundle.unet.apply(
+                unet_params, latent_in, ts, ehs, ids,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res)
+
+        if cfg_split:
+            # [2B, ...] CFG-major stacks -> [2, B, ...] for the lax.map
+            il2 = image_latents.reshape((2, b) + image_latents.shape[1:])
+            ehs2 = image_embeddings.reshape((2, b) + image_embeddings.shape[1:])
+            ids2 = added_time_ids.reshape((2, b) + added_time_ids.shape[1:])
+
+        def step_fn(lat, idx):
+            safe = jnp.minimum(idx, num_steps - 1)
+            sigma = sigmas[safe]
+            sigma_next = sigmas[safe + 1]
+            ts = timesteps[safe]
+            if cfg_split:
+                # sequential halves through ONE compiled body: half the
+                # peak activation HBM (both adapters + UNet at B rows)
+                scaled = scale_model_input(lat, sigma).astype(cd)
+                preds = jax.lax.map(
+                    lambda side: model_call(
+                        jnp.concatenate([scaled, side[0]], axis=-1),
+                        ts, side[1], side[2]),
+                    (il2, ehs2, ids2))
+                uncond, cond = preds[0], preds[1]
+            else:
+                latent_in = jnp.concatenate([lat] * 2, axis=0)
+                latent_in = scale_model_input(latent_in, sigma)
+                latent_in = jnp.concatenate(
+                    [latent_in.astype(cd), image_latents], axis=-1)
+                noise_pred = model_call(latent_in, ts, image_embeddings,
+                                        added_time_ids)
+                uncond, cond = jnp.split(noise_pred, 2, axis=0)
+            noise_pred = uncond + guidance.astype(cond.dtype) * (cond - uncond)
+            new_lat, _ = euler_step(noise_pred, lat, sigma, sigma_next)
+            new_lat = jnp.where(idx < num_steps, new_lat, lat)
+            return new_lat, None
+
+        return step_fn
 
     def _denoise_body(self, unet_params, face_params, drag_params, vae_params,
                       latents, image_latents, image_embeddings, added_time_ids,
                       cond_image, flow_cfg, drag_cfg, ldmk_cfg, face_mask,
                       guidance, sigmas, timesteps, scale_ldmk, scale_traj,
-                      num_steps, decode_chunk_size, return_latent):
+                      num_steps, decode_chunk_size, return_latent,
+                      cfg_split=False):
         bundle = self.bundle
-        face_cn, drag_cn = bundle.controlnet, bundle.controlnet2
 
         # cast MODEL inputs to the param dtype (fp32 latent carry would
         # otherwise promote the whole UNet to fp32; see common.params_dtype)
@@ -154,52 +272,85 @@ class HybridPipeline:
         ldmk_cfg = ldmk_cfg.astype(cd)
         face_mask = face_mask.astype(cd)
 
-        inject_face, _ = face_cn.apply(
-            face_params, cond_image, flow_cfg, ldmk_cfg,
-            method=type(face_cn).encode_features)
-        inject_drag = drag_cn.apply(
-            drag_params, cond_image, drag_cfg,
-            method=type(drag_cn).encode_features)
+        b = latents.shape[0]
+        if cfg_split:
+            # both CFG halves see the SAME cond image/flow/landmarks (the
+            # reference concats identical halves, pipeline.py:393-400):
+            # encode once at B rows and share across sides
+            cond_image, flow_cfg = cond_image[:b], flow_cfg[:b]
+            drag_cfg, ldmk_cfg = drag_cfg[:b], ldmk_cfg[:b]
+        inject_face, inject_drag = self._encode_injects_traced(
+            face_params, drag_params, cond_image, flow_cfg, drag_cfg,
+            ldmk_cfg)
 
-        def step_fn(lat, i):
-            sigma, sigma_next, ts = sigmas[i], sigmas[i + 1], timesteps[i]
-            latent_in = jnp.concatenate([lat] * 2, axis=0)
-            latent_in = scale_model_input(latent_in, sigma)
-            latent_in = jnp.concatenate(
-                [latent_in.astype(cd), image_latents], axis=-1)
-
-            down_face, mid_face = face_cn.apply(
-                face_params, latent_in, ts, image_embeddings, added_time_ids,
-                conditioning_scale=scale_ldmk, precomputed_features=inject_face)
-            down_drag, mid_drag = drag_cn.apply(
-                drag_params, latent_in, ts, image_embeddings, added_time_ids,
-                conditioning_scale=scale_traj, precomputed_features=inject_drag)
-
-            # residuals are [(2B*T), h, w, c]; mask broadcasts over frames.
-            b = lat.shape[0]
-            t = lat.shape[1]
-
-            def blend_bt(rf, rd):
-                hw = rf.shape[1:3]
-                m = resize_nhwc(face_mask, hw, method="nearest")
-                m = jnp.repeat(m, t, axis=0)                      # [B*T, h, w, 1]
-                m = jnp.concatenate([m] * 2, axis=0)              # CFG
-                return rf * m + rd * (1.0 - m)
-
-            down_res = tuple(blend_bt(f, d) for f, d in zip(down_face, down_drag))
-            mid_res = blend_bt(mid_face, mid_drag)
-
-            noise_pred = bundle.unet.apply(
-                unet_params, latent_in, ts, image_embeddings, added_time_ids,
-                down_block_additional_residuals=down_res,
-                mid_block_additional_residual=mid_res)
-            uncond, cond = jnp.split(noise_pred, 2, axis=0)
-            noise_pred = uncond + guidance.astype(cond.dtype) * (cond - uncond)
-            new_lat, _ = euler_step(noise_pred, lat, sigma, sigma_next)
-            return new_lat, None
-
+        step_fn = self._make_step_fn(
+            unet_params, face_params, drag_params, inject_face, inject_drag,
+            image_latents, image_embeddings, added_time_ids, face_mask,
+            guidance, sigmas, timesteps, scale_ldmk, scale_traj, num_steps,
+            cfg_split, cd)
         latents, _ = jax.lax.scan(step_fn, latents, jnp.arange(num_steps))
         if return_latent:
             return latents
         return decode_latents(bundle, latents, decode_chunk_size,
                               vae_params=vae_params)
+
+    @functools.partial(jax.jit, static_argnames=("self", "cfg_split"))
+    def _encode_injects(self, face_params, drag_params, cond_image, flow_cfg,
+                        drag_cfg, ldmk_cfg, *, cfg_split: bool = False):
+        import contextlib
+        from mofa_tpu.parallel.activation import frame_parallel
+        ctx = (frame_parallel(self.mesh) if self.mesh is not None
+               else contextlib.nullcontext())
+        with ctx:
+            cd = params_dtype(face_params)
+            return self._encode_injects_traced(
+                face_params, drag_params, cond_image.astype(cd),
+                flow_cfg.astype(cd), drag_cfg.astype(cd), ldmk_cfg.astype(cd))
+
+    @functools.partial(jax.jit, static_argnames=("self", "k", "num_steps",
+                                                 "cfg_split"))
+    def _denoise_chunk(self, unet_params, face_params, drag_params,
+                       inject_face, inject_drag, lat, image_latents,
+                       image_embeddings, added_time_ids, face_mask, guidance,
+                       sigmas, timesteps, scale_ldmk, scale_traj, start, *,
+                       k: int, num_steps: int, cfg_split: bool):
+        """K Euler steps from global step `start` (a device scalar — one
+        compiled program serves every chunk)."""
+        import contextlib
+        from mofa_tpu.parallel.activation import frame_parallel
+        ctx = (frame_parallel(self.mesh) if self.mesh is not None
+               else contextlib.nullcontext())
+        with ctx:
+            cd = params_dtype(unet_params)
+            step_fn = self._make_step_fn(
+                unet_params, face_params, drag_params, inject_face,
+                inject_drag, image_latents.astype(cd),
+                image_embeddings.astype(cd), added_time_ids,
+                face_mask.astype(cd), guidance, sigmas, timesteps, scale_ldmk,
+                scale_traj, num_steps, cfg_split, cd)
+            lat, _ = jax.lax.scan(step_fn, lat, start + jnp.arange(k))
+            return lat
+
+    def _denoise_stepchunked(self, latents, image_latents, image_embeddings,
+                             added_time_ids, cond_image, flow_cfg, drag_cfg,
+                             ldmk_cfg, face_mask, guidance, sigmas, timesteps,
+                             scale_ldmk, scale_traj, num_steps, step_chunk,
+                             cfg_split):
+        bundle = self.bundle
+        if cfg_split:
+            b = latents.shape[0]
+            cond_image, flow_cfg = cond_image[:b], flow_cfg[:b]
+            drag_cfg, ldmk_cfg = drag_cfg[:b], ldmk_cfg[:b]
+        inject_face, inject_drag = self._encode_injects(
+            bundle.controlnet_params, bundle.controlnet2_params, cond_image,
+            flow_cfg, drag_cfg, ldmk_cfg, cfg_split=cfg_split)
+        lat = latents
+        for s0 in range(0, num_steps, step_chunk):
+            lat = self._denoise_chunk(
+                bundle.unet_params, bundle.controlnet_params,
+                bundle.controlnet2_params, inject_face, inject_drag, lat,
+                image_latents, image_embeddings, added_time_ids, face_mask,
+                guidance, sigmas, timesteps, scale_ldmk, scale_traj,
+                jnp.int32(s0), k=step_chunk, num_steps=num_steps,
+                cfg_split=cfg_split)
+        return lat

@@ -94,7 +94,8 @@ class KeypointPipeline:
                  key: Optional[jax.Array] = None,
                  latents: Optional[jnp.ndarray] = None,
                  output_type: str = "np",
-                 window_batch: int = 1):
+                 window_batch: int = 1,
+                 cfg_split: bool = False):
         """image01 [1,H,W,3] in [0,1]; controlnet_flow [1,T-1,H,W,2];
         landmarks [1,T,H,W,3] rasterized landmark images in [0,1].
 
@@ -104,7 +105,18 @@ class KeypointPipeline:
         accumulation, svdxt_pipeline_ctrlnet_loop.py:502-511), but one
         wide MXU-friendly program instead of a window-at-a-time loop, and
         near-even frame-axis sharding on a mesh (window count, not the
-        in-window frame count, rides the devices)."""
+        in-window frame count, rides the devices).
+
+        cfg_split runs the window step's CFG halves sequentially (half the
+        peak activation HBM — required for 576x1024 windows on a 16 GB
+        chip). Small-programs mode with window_batch=1 only (it exists to
+        SHRINK the program; batching widens it). Same numerics caveat as
+        TrajPipeline: identical to the batched path only with
+        time_context_hw_major_quirk=False."""
+        if cfg_split and (self.big_program or window_batch != 1):
+            raise ValueError("cfg_split requires big_program=False and "
+                             "window_batch=1 (it exists to shrink the "
+                             "per-program activation footprint)")
         b = image01.shape[0]
         assert b == 1, "windowed pipeline is single-video (reference batch_size=1)"
         t = landmarks.shape[1]
@@ -139,16 +151,27 @@ class KeypointPipeline:
         sigmas = jnp.asarray(sched.sigmas)
         timesteps = jnp.asarray(sched.timesteps)
 
-        denoise = (self._denoise_and_decode if self.big_program
-                   else self._denoise_small_programs)
-        out = denoise(
-            self.bundle.unet_params, self.bundle.controlnet_params,
-            self.bundle.vae_params, latents, image_latents, image_embeddings,
-            added_time_ids, cond_image, flow_cfg, ldmk_cfg, guidance, sigmas,
-            timesteps, idx, jnp.float32(controlnet_cond_scale),
-            num_steps=num_inference_steps, window_size=window_size,
-            decode_chunk_size=decode_chunk_size,
-            return_latent=True, window_batch=int(window_batch))
+        if self.big_program:
+            out = self._denoise_and_decode(
+                self.bundle.unet_params, self.bundle.controlnet_params,
+                self.bundle.vae_params, latents, image_latents,
+                image_embeddings, added_time_ids, cond_image, flow_cfg,
+                ldmk_cfg, guidance, sigmas, timesteps, idx,
+                jnp.float32(controlnet_cond_scale),
+                num_steps=num_inference_steps, window_size=window_size,
+                decode_chunk_size=decode_chunk_size,
+                return_latent=True, window_batch=int(window_batch))
+        else:
+            out = self._denoise_small_programs(
+                self.bundle.unet_params, self.bundle.controlnet_params,
+                self.bundle.vae_params, latents, image_latents,
+                image_embeddings, added_time_ids, cond_image, flow_cfg,
+                ldmk_cfg, guidance, sigmas, timesteps, idx,
+                jnp.float32(controlnet_cond_scale),
+                num_steps=num_inference_steps, window_size=window_size,
+                decode_chunk_size=decode_chunk_size,
+                return_latent=True, window_batch=int(window_batch),
+                cfg_split=cfg_split)
         if output_type == "latent":
             return out, controlnet_flow
         frames = decode_latents_jit(self.bundle, out, decode_chunk_size,
@@ -367,24 +390,47 @@ class KeypointPipeline:
                              method=type(cn).encode_features)
         return tuple(inject)
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    @functools.partial(jax.jit, static_argnames=("self", "cfg_split"))
     def _window_step(self, unet_params, cn_params, win_lat, img_lat,
                      image_embeddings, added_time_ids, inject_v, guidance,
-                     sigma, sigma_next, ts, cond_scale):
+                     sigma, sigma_next, ts, cond_scale, *,
+                     cfg_split: bool = False):
         bundle = self.bundle
-        latent_in = jnp.concatenate([win_lat] * 2, axis=0)
-        latent_in = scale_model_input(latent_in, sigma)
-        latent_in = jnp.concatenate(
-                    [latent_in.astype(img_lat.dtype), img_lat], axis=-1)
-        down_res, mid_res = bundle.controlnet.apply(
-            cn_params, latent_in, ts, image_embeddings, added_time_ids,
-            conditioning_scale=cond_scale,
-            precomputed_features=list(inject_v))
-        noise_pred = bundle.unet.apply(
-            unet_params, latent_in, ts, image_embeddings, added_time_ids,
-            down_block_additional_residuals=down_res,
-            mid_block_additional_residual=mid_res)
-        uncond, cond = jnp.split(noise_pred, 2, axis=0)
+
+        def model_call(latent_in, ehs, ids):
+            down_res, mid_res = bundle.controlnet.apply(
+                cn_params, latent_in, ts, ehs, ids,
+                conditioning_scale=cond_scale,
+                precomputed_features=list(inject_v))
+            return bundle.unet.apply(
+                unet_params, latent_in, ts, ehs, ids,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res)
+
+        if cfg_split:
+            # sequential CFG halves through ONE compiled body (half the
+            # peak activation HBM); inject_v was encoded at B rows and is
+            # shared by both sides (same cond image/flow/landmarks)
+            b = win_lat.shape[0]
+            scaled = scale_model_input(win_lat, sigma).astype(img_lat.dtype)
+            il2 = img_lat.reshape((2, b) + img_lat.shape[1:])
+            ehs2 = image_embeddings.reshape(
+                (2, b) + image_embeddings.shape[1:])
+            ids2 = added_time_ids.reshape((2, b) + added_time_ids.shape[1:])
+            preds = jax.lax.map(
+                lambda side: model_call(
+                    jnp.concatenate([scaled, side[0]], axis=-1),
+                    side[1], side[2]),
+                (il2, ehs2, ids2))
+            uncond, cond = preds[0], preds[1]
+        else:
+            latent_in = jnp.concatenate([win_lat] * 2, axis=0)
+            latent_in = scale_model_input(latent_in, sigma)
+            latent_in = jnp.concatenate(
+                        [latent_in.astype(img_lat.dtype), img_lat], axis=-1)
+            noise_pred = model_call(latent_in, image_embeddings,
+                                    added_time_ids)
+            uncond, cond = jnp.split(noise_pred, 2, axis=0)
         noise_pred = uncond + guidance.astype(cond.dtype) * (cond - uncond)
         new_win, _ = euler_step(noise_pred, win_lat, sigma, sigma_next)
         return new_win
@@ -433,10 +479,12 @@ class KeypointPipeline:
                                 ldmk_cfg, guidance, sigmas, timesteps, idx,
                                 cond_scale, *, num_steps, window_size,
                                 decode_chunk_size, return_latent,
-                                window_batch: int = 1):
+                                window_batch: int = 1,
+                                cfg_split: bool = False):
         """Host-driven loops over steps/views; each window step is one
         small reused jit program (semantics identical to the scan path).
-        window_batch > 1 stacks that many windows per program call."""
+        window_batch > 1 stacks that many windows per program call;
+        cfg_split runs each window step's CFG halves sequentially."""
         del decode_chunk_size, return_latent  # decode happens in __call__
         cd = params_dtype(unet_params)
         image_latents = image_latents.astype(cd)
@@ -444,6 +492,12 @@ class KeypointPipeline:
         cond_image = cond_image.astype(cd)
         flow_cfg = flow_cfg.astype(cd)
         ldmk_cfg = ldmk_cfg.astype(cd)
+        if cfg_split:
+            # both CFG halves see the SAME cond image/flow/landmarks (the
+            # reference concats identical halves): encode once at B rows
+            cond_image = cond_image[:1]
+            flow_cfg = flow_cfg[:1]
+            ldmk_cfg = ldmk_cfg[:1]
         idx_np = np.asarray(idx)
         n_views = idx_np.shape[0]
         injects = []
@@ -470,7 +524,8 @@ class KeypointPipeline:
                 new_win = self._window_step(
                     unet_params, cn_params, win, img, image_embeddings,
                     added_time_ids, injects[v], guidance, sigmas[i],
-                    sigmas[i + 1], timesteps[i], cond_scale)
+                    sigmas[i + 1], timesteps[i], cond_scale,
+                    cfg_split=cfg_split)
                 w = np.ones((window_size,), np.float32)
                 if v != 0:
                     w[0] = 0.0   # anchor counted only for the first view
