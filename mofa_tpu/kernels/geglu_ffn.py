@@ -238,19 +238,99 @@ def _ln_ffn_kernel_pipe(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref,
         o_ref[:] = out.astype(o_ref.dtype)
 
 
-# default selected by the on-chip A/B in tools/bench_ffn.py (pipe vs
-# plain parity-checked there too); flip only with a measured win
+def _gelu_gate(h, out_dtype):
+    """bias-added GEMM1 output [rows, 2I] fp32 -> a*gelu(g) in out_dtype.
+    erf inlined as Abramowitz-Stegun 7.1.26 (Mosaic lowers no erf)."""
+    inner = h.shape[-1] // 2
+    a = h[:, :inner]
+    g = h[:, inner:]
+    xs = g * 0.7071067811865476
+    ax = jnp.abs(xs)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = jnp.sign(xs) * (1.0 - poly * jnp.exp(-ax * ax))
+    return (a * (0.5 * g * (1.0 + erf))).astype(out_dtype)
+
+
+def _ln_ffn_kernel_ilv(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref,
+                       b2_ref, o_ref, *, n_split: int):
+    """Split-half interleaved variant: identical math to _ln_ffn_kernel,
+    but the block is processed as n_split independent row sub-blocks so
+    the static scheduler can overlap sub-block k's VPU gelu with
+    sub-block k+1's MXU GEMM1 (and k's GEMM2 with k+1's gelu). No extra
+    scratch — the fp32 intermediate exists one sub-block at a time, so
+    VMEM peak is LOWER than the plain kernel's."""
+    x = x_ref[:]                                           # [BR, C] bf16
+    xf = x.astype(jnp.float32)
+    c = xf.shape[-1]
+    mean = jnp.sum(xf, axis=-1, keepdims=True) / c
+    meansq = jnp.sum(xf * xf, axis=-1, keepdims=True) / c
+    var = jnp.maximum(meansq - mean * mean, 0.0)
+    ln = (xf - mean) * jax.lax.rsqrt(var + LN_EPS)
+    h_in = (ln * ls_ref[:].astype(jnp.float32)
+            + lb_ref[:].astype(jnp.float32)).astype(x.dtype)
+    br = x.shape[0]
+    sr = br // n_split
+    b0f = b0_ref[:].astype(jnp.float32)
+    b2f = b2_ref[:].astype(jnp.float32)
+    for k in range(n_split):
+        hk = jax.lax.dot_general(
+            h_in[k * sr:(k + 1) * sr], w0_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b0f
+        act = _gelu_gate(hk, x.dtype)
+        ok = jax.lax.dot_general(
+            act, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ok = ok + b2f + xf[k * sr:(k + 1) * sr]
+        o_ref[k * sr:(k + 1) * sr] = ok.astype(o_ref.dtype)
+
+
+# MEASURED NEGATIVE (tools/bench_ffn.py on v5e, 2026-08-20): at the
+# C=320 bench site the pipelined variant is exact (0.0 err) but SLOWER
+# (4.23 vs 3.90 ms / 129024 rows) — the double-buffered fp32 h-scratch
+# adds VMEM pressure that costs more than the MXU/VPU overlap wins —
+# and at C=640 its scratch (2x256x5120 fp32 = 10.5 MB) blows the 16 MB
+# scoped-vmem limit outright. Kept as a documented experiment; the
+# serial-gelu-tail headroom needs a different shape (smaller fp32
+# scratch or gelu on the second GEMM's operand stream).
 _PIPELINED = False
 
+# split-half interleave (variant="ilv"): sub-block count per token block.
+# Exact math, LOWER VMEM than plain; pending the on-chip A/B in
+# tools/bench_ffn.py — flip the default only with a measured win.
+_ILV_SPLIT = 4
+_VARIANT = "plain"
 
-@functools.partial(jax.jit, static_argnames=("pipelined",))
-def _ln_ffn_fwd(x2, ls, lb, w0, b0, w2, b2, pipelined: bool = None):
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def _ln_ffn_fwd(x2, ls, lb, w0, b0, w2, b2, variant: str = None):
     r, c = x2.shape
     two_i = w0.shape[1]
     br = _BLOCK_ROWS[c]
     n_blocks = r // br
-    if pipelined is None:
-        pipelined = _PIPELINED
+    if variant is None:
+        variant = _VARIANT
+    pipelined = variant == "pipe"
+    if variant == "ilv":
+        kernel = functools.partial(_ln_ffn_kernel_ilv, n_split=_ILV_SPLIT)
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((br, c), lambda i: (i, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+                pl.BlockSpec((c, two_i), lambda i: (0, 0)),
+                pl.BlockSpec((1, two_i), lambda i: (0, 0)),
+                pl.BlockSpec((two_i // 2, c), lambda i: (0, 0)),
+                pl.BlockSpec((1, c), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((br, c), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((r, c), x2.dtype),
+            interpret=jax.default_backend() == "cpu",
+        )(x2, ls.reshape(1, -1), lb.reshape(1, -1), w0, b0.reshape(1, -1),
+          w2, b2.reshape(1, -1))
     if pipelined and jax.default_backend() == "tpu":
         kernel = functools.partial(_ln_ffn_kernel_pipe, n_blocks=n_blocks)
         out = pl.pallas_call(
