@@ -297,8 +297,13 @@ def _ln_ffn_kernel_ilv(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref,
 _PIPELINED = False
 
 # split-half interleave (variant="ilv"): sub-block count per token block.
-# Exact math, LOWER VMEM than plain; pending the on-chip A/B in
-# tools/bench_ffn.py — flip the default only with a measured win.
+# Exact math, LOWER VMEM than plain. MEASURED NEGATIVE on-chip
+# (tools/bench_ffn.py on v5e, 2026-08-20): a wash at the C=320 spatial
+# site (4.083 vs 4.081 ms / 129024 rows), SLOWER at C=640 (3.086 vs
+# 2.784 ms) and at the temporal C=320 site (4.357 vs 4.109 ms) — Mosaic's
+# static scheduler already overlaps the plain kernel's gelu tail with the
+# next grid block's DMA/GEMM, so hand-splitting only shrinks the MXU
+# tiles. Both alt variants stay available for A/Bs; plain is the default.
 _ILV_SPLIT = 4
 _VARIANT = "plain"
 
