@@ -1,5 +1,7 @@
-"""3DMM fit CLI — CropAndExtract (utils/preprocess.py:46-175) minus the
-facexlib keypoint detector.
+"""3DMM fit CLI — CropAndExtract (utils/preprocess.py:46-175), fully
+in-framework: BlazeFace detection (--task) + AWing FAN alignment
+(--fan_ckpt) replace the facexlib RetinaFace+FAN keypoint stage;
+precomputed --kp / a manual --bbox remain as overrides.
 
 image + 68-point keypoints (y down; .npy/.txt) -> npz with the
 `--coeff_npz` contract consumed by audio2ldmk_app / facerender_app:
@@ -30,9 +32,13 @@ def build_parser():
                         "in-framework AWing FAN (models/face_alignment.py) "
                         "instead of external --kp")
     p.add_argument("--bbox", default=None,
-                   help="face box 'x1,y1,x2,y2' for the FAN crop (the "
-                        "retinaface detection stage stays external; "
-                        "defaults to the full image)")
+                   help="manual face box 'x1,y1,x2,y2' for the FAN crop; "
+                        "omit with --task to detect in-framework "
+                        "(BlazeFace), or alone to use the full image")
+    p.add_argument("--task", default=None,
+                   help="mediapipe .task bundle: detect the face box "
+                        "in-framework with BlazeFace (models/mp_face.py) "
+                        "instead of --bbox")
     p.add_argument("--fan_tiny", action="store_true",
                    help="1-module random-weight FAN (tests only)")
     p.add_argument("--lm3d_mat", required=True,
@@ -46,9 +52,10 @@ def build_parser():
 
 
 def _detect_kp(args, img_rgb: np.ndarray) -> np.ndarray:
-    """In-framework 68-pt detection: crop to --bbox, AWing FAN 98-pt,
-    98->68 map, uncrop — the extract_kp_videos_safe.py:64-77 chain with
-    the retinaface box supplied externally."""
+    """In-framework 68-pt detection: face box (--bbox manual, or BlazeFace
+    via --task, else the full image), AWing FAN 98-pt, 98->68 map, uncrop —
+    the extract_kp_videos_safe.py:64-77 chain with the retinaface detector
+    replaced by the in-framework BlazeFace."""
     from mofa_tpu.models.face_alignment import (FAN, get_landmarks,
                                                 landmark_98_to_68)
     from mofa_tpu.models.weights import convert_fan_state_dict, \
@@ -57,6 +64,12 @@ def _detect_kp(args, img_rgb: np.ndarray) -> np.ndarray:
     h, w = img_rgb.shape[:2]
     if args.bbox:
         x1, y1, x2, y2 = [int(v) for v in args.bbox.split(",")]
+    elif args.task:
+        from mofa_tpu.models.mp_face import load_face_detector
+        from mofa_tpu.preprocess.video_fit import detect_video_boxes
+        det_fn, det_params = load_face_detector(args.task)
+        box = detect_video_boxes(img_rgb[None], det_fn, det_params)[0]
+        x1, y1, x2, y2 = [int(v) for v in box]
     else:
         x1, y1, x2, y2 = 0, 0, w, h
     crop = img_rgb[y1:y2, x1:x2]

@@ -90,6 +90,30 @@ def test_face_fit_cli_with_fan(tmp_path):
     assert np.all(np.isfinite(data["coeff_3dmm"]))
 
 
+def test_face_fit_cli_task_autodetect(tmp_path):
+    """face_fit_app fully automatic: BlazeFace box via --task (no --bbox,
+    no --kp) -> FAN -> fit, on the reference's demo face."""
+    import os
+    import pytest
+    from scipy.io import savemat
+    from mofa_tpu.apps.face_fit_app import main
+
+    task = ("/root/reference/MOFA-Video-Hybrid/aniportrait/src/utils/"
+            "mp_models/face_landmarker_v2_with_blendshapes.task")
+    demo = "/root/reference/MOFA-Video-Keypoint/demo/images/000001.jpg"
+    if not (os.path.exists(task) and os.path.exists(demo)):
+        pytest.skip("reference mp_models/demo face not mounted")
+    rng = np.random.RandomState(4)
+    mat = str(tmp_path / "lm3d.mat")
+    savemat(mat, {"lm": rng.randn(68, 3).astype(np.float64)})
+    out = str(tmp_path / "fit.npz")
+    main(["--image", demo, "--fan_tiny", "--task", task,
+          "--lm3d_mat", mat, "--save", out, "--tiny"])
+    data = np.load(out, allow_pickle=True)
+    assert data["full_3dmm"].shape == (1, 257)
+    assert np.all(np.isfinite(data["coeff_3dmm"]))
+
+
 def test_get_landmarks_end_to_end_smoke():
     m = FAN(num_modules=1, num_landmarks=98)
     rng = np.random.RandomState(2)
