@@ -72,7 +72,9 @@ def _detect_kp(args, img_rgb: np.ndarray) -> np.ndarray:
         x1, y1, x2, y2 = [int(v) for v in box]
     else:
         x1, y1, x2, y2 = 0, 0, w, h
-    crop = img_rgb[y1:y2, x1:x2]
+    # guard degenerate (zero-area / boundary-truncated) boxes, same as
+    # preprocess/video_fit.py
+    crop = img_rgb[y1:max(y2, y1 + 2), x1:max(x2, x1 + 2)]
 
     net = FAN(num_modules=1) if args.fan_tiny else FAN()
     params = net.init(jax.random.PRNGKey(0),

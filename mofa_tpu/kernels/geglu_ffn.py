@@ -271,6 +271,9 @@ def _ln_ffn_kernel_ilv(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref,
     h_in = (ln * ls_ref[:].astype(jnp.float32)
             + lb_ref[:].astype(jnp.float32)).astype(x.dtype)
     br = x.shape[0]
+    assert br % n_split == 0, (
+        "ilv variant requires block rows divisible by n_split "
+        f"(br={br}, n_split={n_split}); trailing rows would go unwritten")
     sr = br // n_split
     b0f = b0_ref[:].astype(jnp.float32)
     b2f = b2_ref[:].astype(jnp.float32)
@@ -286,15 +289,13 @@ def _ln_ffn_kernel_ilv(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref,
         o_ref[k * sr:(k + 1) * sr] = ok.astype(o_ref.dtype)
 
 
-# MEASURED NEGATIVE (tools/bench_ffn.py on v5e, 2026-08-20): at the
-# C=320 bench site the pipelined variant is exact (0.0 err) but SLOWER
-# (4.23 vs 3.90 ms / 129024 rows) — the double-buffered fp32 h-scratch
-# adds VMEM pressure that costs more than the MXU/VPU overlap wins —
-# and at C=640 its scratch (2x256x5120 fp32 = 10.5 MB) blows the 16 MB
-# scoped-vmem limit outright. Kept as a documented experiment; the
-# serial-gelu-tail headroom needs a different shape (smaller fp32
-# scratch or gelu on the second GEMM's operand stream).
-_PIPELINED = False
+# Variant selection. "pipe" (double-buffered fp32 h-scratch) is a
+# MEASURED NEGATIVE (tools/bench_ffn.py on v5e, 2026-08-20): exact
+# (0.0 err) but SLOWER at the C=320 bench site (4.43-4.50 vs plain
+# 4.08-4.11 ms / 129024 rows, matching STATUS.md) — the extra VMEM
+# pressure costs more than the MXU/VPU overlap wins — and at C=640 its
+# scratch (2x256x5120 fp32 = 10.5 MB) blows the 16 MB scoped-vmem limit
+# outright. Kept as a documented experiment via variant="pipe".
 
 # split-half interleave (variant="ilv"): sub-block count per token block.
 # Exact math, LOWER VMEM than plain. MEASURED NEGATIVE on-chip

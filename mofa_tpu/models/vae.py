@@ -99,10 +99,18 @@ class TemporalDecoder(nn.Module):
                 ch, eps=1e-6, temporal_eps=1e-5, merge_strategy="learned",
                 switch_spatial_to_temporal_mix=True, use_temb=False, name=name)
 
+        # MidBlockTemporalDecoder: num_layers = layers_per_block resnets
+        # with ONE attention module; forward zips resnets[1:] against the
+        # length-1 attention list (diffusers-0.24
+        # unet_3d_blocks.MidBlockTemporalDecoder.forward), so exactly
+        # resnets[0] [, attn, resnets[1]] run — at layers_per_block=1 the
+        # attention params exist in the checkpoint but never run
         ch = cfg.block_out_channels[-1]
         x = st_block(ch, "mid_block_resnets_0")(x, None, image_only_indicator)
-        x = _VAEAttention(ch, name="mid_block_attentions_0")(x)
-        x = st_block(ch, "mid_block_resnets_1")(x, None, image_only_indicator)
+        if cfg.layers_per_block >= 2:
+            x = _VAEAttention(ch, name="mid_block_attentions_0")(x)
+            x = st_block(ch, "mid_block_resnets_1")(x, None,
+                                                    image_only_indicator)
 
         rev = list(reversed(cfg.block_out_channels))
         for i, ch in enumerate(rev):

@@ -159,6 +159,57 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return {k: _to_numpy(v) for k, v in sd.items() if hasattr(v, "shape")}
 
 
+# ----------------------------------------------------------- SVD VAE / CLIP
+
+def convert_vae_state_dict(flax_params: dict,
+                           torch_sd: Dict[str, np.ndarray],
+                           strict: bool = True) -> dict:
+    """diffusers AutoencoderKLTemporalDecoder state dict -> Flax tree.
+
+    The diffusers names (`encoder.down_blocks.0.resnets.0...`,
+    `decoder.mid_block.attentions.0.to_out.0...`, `decoder.time_conv_out`,
+    `quant_conv`, `...time_mixer.mix_factor`) map onto
+    `mofa_tpu.models.vae.AutoencoderKLTemporalDecoder` through the generic
+    resolver (index folding + greedy name joining); this wrapper exists so
+    callers/tests name the intent and any future VAE-specific remap has a
+    home. Golden-tested in tests/test_vae_clip_golden.py.
+    """
+    return convert_torch_state_dict(flax_params, torch_sd, strict=strict)
+
+
+def convert_clip_vision_state_dict(flax_params: dict,
+                                   torch_sd: Dict[str, np.ndarray],
+                                   strict: bool = True) -> dict:
+    """transformers CLIPVisionModelWithProjection state dict -> Flax tree.
+
+    Special cases vs the generic converter:
+    - `vision_model.` / `embeddings.` / `encoder.` wrapper levels do not
+      exist in the Flax module — stripped as prefixes
+    - `position_embedding.weight` is an nn.Embedding table [npos, hidden]
+      stored as a raw Flax param of the SAME layout — must NOT get the
+      2-D `weight`->kernel transpose
+    """
+    import copy
+
+    sd = dict(torch_sd)
+    params = copy.deepcopy(flax_params)
+    root = params["params"] if "params" in params else params
+    for key in list(sd):
+        if key.endswith("position_embedding.weight"):
+            val = _to_numpy(sd.pop(key))
+            expected = root["position_embedding"]
+            if expected.shape != val.shape:
+                raise ValueError(
+                    f"position_embedding shape {val.shape} != {expected.shape}")
+            root["position_embedding"] = val.astype(
+                np.asarray(expected).dtype)
+    return convert_torch_state_dict(
+        params, sd,
+        strip_prefixes=("module.", "vision_model.", "embeddings.",
+                        "encoder."),
+        strict=strict)
+
+
 # ----------------------------------------------------------------- CMP
 
 _CMP_SEQ_CONV_BN = {

@@ -77,6 +77,14 @@ class HybridPipeline:
         time_context_hw_major_quirk=False (the split halves run at B=1,
         which disables the pairwise hw-major context quirk)."""
         b = image01.shape[0]
+        if (cfg_split and b != 1
+                and self.bundle.unet.cfg.time_context_hw_major_quirk):
+            # with the pairwise hw-major quirk on, each split half runs at
+            # even bsz=B and the quirk would treat DISTINCT videos as a CFG
+            # pair, cross-contaminating their CLIP time-contexts
+            raise ValueError(
+                "cfg_split requires batch size 1 when "
+                "time_context_hw_major_quirk is enabled (got B=%d)" % b)
         t = landmarks.shape[1]
         h, w = image01.shape[1:3]
         key = key if key is not None else jax.random.PRNGKey(42)

@@ -89,6 +89,13 @@ class TrajPipeline:
         tunnel kills device programs running >~1 min (T=25 576x1024
         25-step is ~70 s in one program)."""
         b = image01.shape[0]
+        if (cfg_split and b != 1
+                and self.bundle.unet.cfg.time_context_hw_major_quirk):
+            # split halves run at even bsz=B; the pairwise hw-major quirk
+            # would pair distinct videos as if they were a CFG pair
+            raise ValueError(
+                "cfg_split requires batch size 1 when "
+                "time_context_hw_major_quirk is enabled (got B=%d)" % b)
         t = controlnet_flow.shape[1] + 1
         h, w = image01.shape[1:3]
         key = key if key is not None else jax.random.PRNGKey(42)

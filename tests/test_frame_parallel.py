@@ -95,3 +95,41 @@ def test_sharded_decode_matches_single_device():
     mesh = make_mesh(data=1, frames=8)
     got = np.asarray(decode_latents_jit(bundle, latents, 2, mesh=mesh))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_frame_parallel_dual_adapter_matches_single_device():
+    """Dual-adapter hybrid denoise (VERDICT r3 weak #5): one full
+    HybridPipeline denoise — both adapters, per-resolution nearest-mask
+    residual blend (reference pipeline.py:454-488), UNet, Euler —
+    frame-parallel over 8 virtual devices vs unsharded. Quirk off for the
+    tight bound (see the UNet parity tests above for why)."""
+    from mofa_tpu.pipelines.hybrid import HybridPipeline
+
+    cfg = dataclasses.replace(MICRO_UNET_CONFIG,
+                              time_context_hw_major_quirk=False)
+    t = 4
+    bundle = ModelBundle.init_random(
+        jax.random.PRNGKey(7), cfg, TINY_VAE_CONFIG, TINY_CLIP_CONFIG,
+        ldmk=True, dual=True, image_size=(H, W), num_frames=t)
+    # perturb the drag adapter so the mask blend mixes DIFFERENT residuals
+    leaves, treedef = jax.tree_util.tree_flatten(bundle.controlnet2_params)
+    keys = jax.random.split(jax.random.PRNGKey(8), len(leaves))
+    bundle.controlnet2_params = jax.tree_util.tree_unflatten(
+        treedef, [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+                  for l, k in zip(leaves, keys)])
+
+    rng = np.random.RandomState(3)
+    image = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+    flow = jnp.asarray(rng.randn(1, t - 1, H, W, 2).astype(np.float32))
+    drag = jnp.asarray(rng.randn(1, t - 1, H, W, 2).astype(np.float32))
+    ldmk = jnp.asarray(rng.rand(1, t, H, W, 3).astype(np.float32))
+    mask = jnp.asarray((rng.rand(1, H, W, 1) > 0.5).astype(np.float32))
+    kw = dict(num_inference_steps=2, output_type="latent",
+              key=jax.random.PRNGKey(4))
+
+    want, _ = HybridPipeline(bundle)(image, flow, drag, ldmk, mask, **kw)
+    mesh = make_mesh(data=1, frames=8)
+    got, _ = HybridPipeline(bundle, mesh=mesh)(image, flow, drag, ldmk,
+                                               mask, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

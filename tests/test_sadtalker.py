@@ -168,3 +168,117 @@ def test_generate_coeffs_end_to_end():
                              wav, ref70, pose_style=3)
     assert coeffs.shape == (25, 70)
     assert np.isfinite(coeffs).all()
+
+
+# ------------------------------------------------------- mel golden (r4)
+# librosa is absent from this image (the reference's audio.py delegates to
+# it), so the golden is assembled from what IS independently available:
+# scipy's own STFT implementation, a second Slaney-filterbank
+# transcription written from librosa.filters.mel's published algorithm
+# (mel_frequencies + outer-ramp form, structurally different from the
+# hz<->mel piecewise form in sadtalker.py), and analytic properties of the
+# triangle bank. Reference math: MOFA-Video-Hybrid/sadtalker_audio2pose/
+# src/utils/audio.py:45-50,92-127.
+
+def _slaney_mel_oracle(sr, n_fft, n_mels, fmin, fmax):
+    """librosa.filters.mel(norm='slaney', htk=False) re-derived via
+    mel_frequencies (librosa/filters.py), 3-point ramp form."""
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+
+    def to_mel(hz):
+        hz = np.asarray(hz, np.float64)
+        return np.where(hz >= min_log_hz,
+                        min_log_mel + np.log(hz / min_log_hz) / logstep,
+                        hz / f_sp)
+
+    def to_hz(mel):
+        mel = np.asarray(mel, np.float64)
+        return np.where(mel >= min_log_mel,
+                        min_log_hz * np.exp(logstep * (mel - min_log_mel)),
+                        f_sp * mel)
+
+    mels = np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+    freqs = to_hz(mels)
+    fft_freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    weights = np.zeros((n_mels, len(fft_freqs)))
+    for i in range(n_mels):
+        lo = (fft_freqs - freqs[i]) / (freqs[i + 1] - freqs[i])
+        hi = (freqs[i + 2] - fft_freqs) / (freqs[i + 2] - freqs[i + 1])
+        weights[i] = np.maximum(0.0, np.minimum(lo, hi))
+        weights[i] *= 2.0 / (freqs[i + 2] - freqs[i])
+    return weights
+
+
+def test_mel_filterbank_golden_and_properties():
+    from mofa_tpu.models.audio.sadtalker import _mel_filterbank, MEL_PARAMS
+
+    p = MEL_PARAMS
+    got = _mel_filterbank(p["sample_rate"], p["n_fft"], p["num_mels"],
+                          p["fmin"], p["fmax"]).astype(np.float64)
+    want = _slaney_mel_oracle(p["sample_rate"], p["n_fft"], p["num_mels"],
+                              p["fmin"], p["fmax"])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+
+    # analytic sanity: every filter a single triangle with slaney area
+    # ~= 1 (integral over Hz of the unnormalized triangle = width/2;
+    # normalization 2/width makes the Riemann sum ~ 1)
+    df = p["sample_rate"] / p["n_fft"]
+    areas = got.sum(axis=1) * df
+    assert np.all(areas > 0.8) and np.all(areas < 1.2), areas[[0, -1]]
+    for i in (0, 40, 79):
+        row = got[i]
+        peak = row.argmax()
+        assert np.all(np.diff(row[:peak + 1][row[:peak + 1] > 0]) >= -1e-12)
+        assert np.all(np.diff(row[peak:][row[peak:] > 0]) <= 1e-12)
+
+
+def test_melspectrogram_stft_vs_scipy():
+    """The librosa.stft transcription inside melspectrogram (center
+    reflect pad, periodic hann, hop 200) vs scipy.signal.stft — an
+    independent STFT implementation (boundary='even' == np.pad reflect;
+    scipy scales by 1/win.sum())."""
+    from scipy import signal as ss
+    from mofa_tpu.models.audio.sadtalker import MEL_PARAMS
+
+    p = MEL_PARAMS
+    n_fft, hop, win = p["n_fft"], p["hop_size"], p["win_size"]
+    rng = np.random.RandomState(0)
+    y = rng.randn(16000 // 4).astype(np.float64)
+
+    pad = n_fft // 2
+    yp = np.pad(y, (pad, pad), mode="reflect")
+    window = np.hanning(win + 1)[:-1]
+    frames = 1 + (len(yp) - n_fft) // hop
+    mag = np.empty((n_fft // 2 + 1, frames))
+    for t in range(frames):
+        mag[:, t] = np.abs(np.fft.rfft(yp[t * hop:t * hop + n_fft] * window))
+
+    _, _, Z = ss.stft(y, window="hann", nperseg=win, noverlap=win - hop,
+                      nfft=n_fft, boundary="even", padded=True)
+    ref = np.abs(Z)[:, :frames] * window.sum()
+    np.testing.assert_allclose(mag, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_melspectrogram_pure_tone_localizes():
+    """End-to-end: a 1 kHz tone must put its mel-energy argmax at the
+    analytic 1 kHz mel bin across (most) frames."""
+    from mofa_tpu.models.audio.sadtalker import melspectrogram, MEL_PARAMS
+
+    p = MEL_PARAMS
+    sr = p["sample_rate"]
+    t = np.arange(sr // 2) / sr
+    wav = 0.5 * np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    mel = melspectrogram(wav)
+    assert mel.shape[0] == p["num_mels"]
+
+    # analytic bin: center freqs from the oracle; nearest to 1 kHz
+    w = _slaney_mel_oracle(sr, p["n_fft"], p["num_mels"], p["fmin"],
+                           p["fmax"])
+    fft_freqs = np.fft.rfftfreq(p["n_fft"], d=1.0 / sr)
+    centers = fft_freqs[w.argmax(axis=1)]
+    expect = int(np.abs(centers - 1000.0).argmin())
+    hits = (mel.argmax(axis=0) == expect).mean()
+    assert hits > 0.8, (expect, mel.argmax(axis=0)[:20])

@@ -1,12 +1,21 @@
-"""Time a full stage-1 train step on the real chip.
+"""Time a full stage-1 (or stage-2) train step on the real chip.
 
-Reference operating point: 384^2, 25 frames, batch 1/GPU, fp16,
+Stage-1 reference operating point: 384^2, 25 frames, batch 1/GPU, fp16,
 gradient checkpointing (Training/train_stage1.sh:4-20). Here: bf16
 params, remat on, AdamW on the adapter, EDM loss with frozen
 VAE/CLIP/UNet — the complete make_train_step program including VAE/CLIP
 encodes and the backward pass.
 
+--stage2 times the stage-2 operating point (Training/train_stage2.sh:4-25:
+320^2 train / 384^2 CMP canvas, 25 frames, batch 1) INCLUDING its per-step
+input-synthesis pipeline (train_stage2.py:78-159, flagged in SURVEY §3.4
+as a major input cost): GMFlow teacher over the 24 frame pairs at
+(384,512), host grid+watershed mask sampling, batched CMP completion at
+384^2, and the EDM step with the stage-2 freeze set + adafactor (the
+8-bit-Adam analog). Reports the input-synthesis share separately.
+
 Usage: python -u tools/bench_train.py [--t 25] [--size 384] [--remat 1]
+       [--stage2]
 """
 
 from __future__ import annotations
@@ -18,9 +27,149 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import bench as bench_mod  # tunnel probe / JAX_PLATFORMS honoring
+
 import jax
 import jax.numpy as jnp
 import optax
+
+
+def _fill_like(shapes, dtype):
+    return jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01,
+                           dtype if jnp.issubdtype(s.dtype, jnp.floating)
+                           else s.dtype), shapes)
+
+
+def run_stage2(args):
+    """Stage-2 step incl. input synthesis (train_stage2.py:78-159,
+    :1249-1268): teacher flow -> watershed/grid sparse mask -> CMP at
+    384^2 -> rescale to train size -> EDM step with the stage-2 freeze
+    set. Timings fence via scalar fetches."""
+    import numpy as np
+    from mofa_tpu.models.svd_unet import (SVDUNetConfig,
+                                          UNetSpatioTemporalConditionModel)
+    from mofa_tpu.models.mofa_adapter import FlowControlNet
+    from mofa_tpu.models.vae import AutoencoderKLTemporalDecoder, VAEConfig
+    from mofa_tpu.models.clip_vision import (CLIPVisionModelWithProjection,
+                                             CLIPVisionConfig)
+    from mofa_tpu.models.gmflow.model import (GMFlow, GMFlowConfig,
+                                              get_optical_flows)
+    from mofa_tpu.models.cmp.model import CMP, CMPConfig
+    from mofa_tpu.pipelines.common import ModelBundle
+    from mofa_tpu.train.state import (TrainState, make_optimizer,
+                                      STAGE2_FROZEN)
+    from mofa_tpu.train.stage import make_train_step, frozen_params
+    from mofa_tpu.train.inputs import stage2_control_flow
+
+    dtype = jnp.bfloat16
+    t, hw, b = args.t, args.size, args.b
+    key = jax.random.PRNGKey(0)
+
+    if args.tiny:   # CPU smoke of the full flow (shapes stay 384-canvas)
+        from mofa_tpu.models.svd_unet import MICRO_UNET_CONFIG
+        from mofa_tpu.models.vae import TINY_VAE_CONFIG
+        from mofa_tpu.models.clip_vision import TINY_CLIP_CONFIG
+        from mofa_tpu.models.gmflow.model import TINY_GMFLOW_CONFIG
+        from mofa_tpu.models.cmp.model import TINY_CMP_CONFIG
+        ucfg, vcfg, ccfg = MICRO_UNET_CONFIG, TINY_VAE_CONFIG, TINY_CLIP_CONFIG
+        gcfg, mcfg = TINY_GMFLOW_CONFIG, TINY_CMP_CONFIG
+        t, hw = min(t, 3), 64
+    else:
+        ucfg, vcfg, ccfg = SVDUNetConfig(), VAEConfig(), CLIPVisionConfig()
+        gcfg, mcfg = GMFlowConfig(), CMPConfig()
+    unet = UNetSpatioTemporalConditionModel(ucfg)
+    cn = FlowControlNet(ucfg)
+    vae = AutoencoderKLTemporalDecoder(vcfg)
+    clip = CLIPVisionModelWithProjection(ccfg)
+    sample = jnp.zeros((1, t, hw // 8, hw // 8, ucfg.in_channels), dtype)
+    ehs = jnp.zeros((1, 1, ucfg.cross_attention_dim), dtype)
+    ids = jnp.zeros((1, 3), dtype)
+    cond = jnp.zeros((1, hw, hw, 3), dtype)
+    flow = jnp.zeros((1, t - 1, hw, hw, 2), dtype)
+
+    t0 = time.perf_counter()
+    shapes = {
+        "unet": jax.eval_shape(unet.init, key, sample, 1.0, ehs, ids),
+        "cn": jax.eval_shape(cn.init, key, sample, 1.0, ehs, ids, cond,
+                             flow),
+        "vae": jax.eval_shape(lambda k: vae.init(
+            k, jnp.zeros((1, hw, hw, 3)), num_frames=1), key),
+        "clip": jax.eval_shape(lambda k: clip.init(
+            k, jnp.zeros((1, ccfg.image_size, ccfg.image_size, 3))), key),
+    }
+    p = {k: _fill_like(v, dtype) for k, v in shapes.items()}
+    gmflow = GMFlow(gcfg)
+    gshape = jax.eval_shape(gmflow.init, key, jnp.zeros((1, 384, 512, 3)),
+                            jnp.zeros((1, 384, 512, 3)))
+    gp = _fill_like(gshape, jnp.float32)
+    cmp = CMP(mcfg)
+    cshape = jax.eval_shape(cmp.init, key, jnp.zeros((1, 384, 384, 3)),
+                            jnp.zeros((1, 384, 384, 2)),
+                            jnp.zeros((1, 384, 384, 2)))
+    cmp_params = _fill_like(cshape, jnp.float32)
+    jax.block_until_ready((p, gp, cmp_params))
+    print(f"params materialized {time.perf_counter() - t0:.0f}s", flush=True)
+
+    bundle = ModelBundle(unet, p["unet"], cn, p["cn"], vae, p["vae"],
+                         clip, p["clip"])
+    tx = make_optimizer(lr=2e-5, params=p["cn"], memory_lean=True,
+                        frozen_patterns=STAGE2_FROZEN)
+    state = TrainState.create(p["cn"], tx)
+    step = jax.jit(make_train_step(bundle, tx, remat=bool(args.remat)),
+                   donate_argnums=(0,))
+    frozen = frozen_params(bundle)
+
+    rng = np.random.RandomState(0)
+    px_np = rng.rand(b, t, hw, hw, 3).astype(np.float32)
+    px = jnp.asarray(px_np, dtype)
+
+    def synth():
+        tt = time.perf_counter()
+        flows = get_optical_flows(gmflow, gp, px.astype(jnp.float32))
+        flows_np = np.asarray(flows)             # host fence + mask input
+        teacher_s = time.perf_counter() - tt
+        tt = time.perf_counter()
+        dense, _ = stage2_control_flow(cmp, cmp_params, px_np, flows_np,
+                                       (hw, hw), rng=rng)
+        dense = jnp.asarray(dense, dtype)
+        float(jnp.sum(dense.astype(jnp.float32)))
+        cmp_s = time.perf_counter() - tt
+        return dense, teacher_s, cmp_s
+
+    # compile + first
+    t0 = time.perf_counter()
+    dense, teacher_s, cmp_s = synth()
+    batch = {"pixel_values01": px, "flows": dense}
+    state, metrics = step(state, batch, jax.random.PRNGKey(1), frozen)
+    float(metrics["loss"])
+    print(f"compile+first {time.perf_counter() - t0:.0f}s "
+          f"(teacher {teacher_s:.1f}s, mask+cmp {cmp_s:.1f}s)", flush=True)
+
+    import statistics
+    rows = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        dense, teacher_s, cmp_s = synth()
+        batch = {"pixel_values01": px, "flows": dense}
+        ts = time.perf_counter()
+        state, metrics = step(state, batch, jax.random.PRNGKey(2), frozen)
+        loss = float(metrics["loss"])
+        step_s = time.perf_counter() - ts
+        total = time.perf_counter() - t0
+        rows.append((teacher_s, cmp_s, step_s, total))
+        print(f"stage2 {t}f train {hw}^2 cmp 384^2: total {total:.2f}s = "
+              f"teacher {teacher_s:.2f} + mask/cmp {cmp_s:.2f} + "
+              f"step {step_s:.2f} (loss {loss:.4f})", flush=True)
+    med = [statistics.median(c) for c in zip(*rows)]
+    import json
+    print(json.dumps({
+        "metric": "stage2_seconds_per_step",
+        "train_size": hw, "frames": t, "cmp_size": 384,
+        "teacher_s": round(med[0], 3), "mask_cmp_s": round(med[1], 3),
+        "step_s": round(med[2], 3), "total_s": round(med[3], 3),
+        "input_synthesis_share": round((med[0] + med[1]) / med[3], 3)}),
+        flush=True)
 
 
 def main():
@@ -31,7 +180,16 @@ def main():
     ap.add_argument("--remat", type=int, default=1)
     ap.add_argument("--memory_lean", type=int, default=1)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--stage2", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke of the --stage2 flow at micro configs")
     args = ap.parse_args()
+    bench_mod._maybe_force_cpu()   # honors JAX_PLATFORMS=cpu despite axon
+    if args.stage2:
+        if args.size == 384:
+            args.size = 320            # train_stage2.sh: train 320^2
+        run_stage2(args)
+        return
 
     from mofa_tpu.models.svd_unet import (SVDUNetConfig,
                                           UNetSpatioTemporalConditionModel)
