@@ -202,14 +202,14 @@ def main():
         # full 25-frame/25-step 576x1024 video — CMP flow completion,
         # CLIP+VAE encode, T=25 denoise (cfg_split + 5-step program
         # chunks; see pipelines/traj), chunked VAE decode — measured, not
-        # projected; phase times are medians of 2 reps (VERDICT r2 item
+        # projected; phase times are medians of 3 reps (VERDICT r2 item
         # 7). Reuses the bundle.
         if not os.environ.get("BENCH_SKIP_E2E"):
             try:
                 import bench_e2e
                 e2e = bench_e2e.run(H, W, T_E2E, STEPS, 8, dtype,
                                     verbose=bool(os.environ.get("BENCH_VERBOSE")),
-                                    bundle=bundle, n_time=2)
+                                    bundle=bundle, n_time=3)
                 out["e2e_seconds_single_chip_25f25s_576x1024"] = (
                     e2e["e2e_seconds_single_chip"])
                 out["e2e_cmp_s"] = e2e["cmp_s"]

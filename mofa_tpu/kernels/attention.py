@@ -73,6 +73,39 @@ def _packed_short_attention(q, k, v):
     return out[:B] if pad else out
 
 
+def temporal_attention_tmajor(q2, k2, v2, num_frames: int, heads: int):
+    """Temporal self-attention taking the NATURAL spatial-major rows.
+
+    q2/k2/v2 [B*T, S, H*D] -> [B*T, S, H*D], attending over the frame
+    axis per (batch, spatial token). On TPU this dispatches to the
+    transpose-free Pallas kernel (kernels/short_attention.py
+    ::short_attention_tmajor); elsewhere (CPU tests, sharded execution,
+    odd shapes) it falls back to the classic transpose +
+    dot_product_attention + transpose — identical math.
+    """
+    import os
+    bt, s, hd = q2.shape
+    b = bt // num_frames
+    d = hd // heads
+    from mofa_tpu.kernels.short_attention import (
+        short_attention_applicable, short_attention_tmajor)
+    if (os.environ.get("MOFA_SHORT_ATTN", "") != "0"
+            and short_attention_applicable(b * s, num_frames, num_frames,
+                                           heads, d)):
+        fixed = os.environ.get("MOFA_FIXED_MAX_SOFTMAX", "") != "0"
+        return short_attention_tmajor(q2, k2, v2, num_frames, heads, 0,
+                                      fixed)
+
+    def to_tmin(x):            # [B*T, S, HD] -> [B*S, T, H, D]
+        x = x.reshape(b, num_frames, s, heads, d)
+        return x.transpose(0, 2, 1, 3, 4).reshape(b * s, num_frames,
+                                                  heads, d)
+
+    out = dot_product_attention(to_tmin(q2), to_tmin(k2), to_tmin(v2))
+    out = out.reshape(b, s, num_frames, hd).transpose(0, 2, 1, 3)
+    return out.reshape(bt, s, hd)
+
+
 def set_attention_impl(name: str):
     global _IMPL
     assert name in ("auto", "xla", "naive", "flash")

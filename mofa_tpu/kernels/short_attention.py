@@ -147,6 +147,148 @@ def _short_attn_fwd(q2, k2, v2, l: int, h: int, d: int,
     return out[:rows_total] if pad_seqs else out
 
 
+def _tmajor_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, h: int, d: int,
+                   scale: float, fixed_max: bool):
+    """Frame-major variant: refs are [1, T, BN, H*D] blocks of the
+    NATURAL [B, T, S, H*D] activation layout (no host-level transpose);
+    rows r = t*BN + s attend iff same spatial slot (r % BN == r' % BN) —
+    the strided analog of the block-diagonal mask. Same math as
+    _short_attn_kernel otherwise."""
+    bias = bias_ref[:]
+    scale2 = scale * _LOG2E
+    t, bn = q_ref.shape[1], q_ref.shape[2]
+    rows = t * bn
+    # ONE [T, BN, H*D] -> [rows, H*D] merge per operand per block (the
+    # sublane-dim merge is a relayout in Mosaic — doing it per head cost
+    # 3*H relayouts and made the /32 H=20 site 4x slower)
+    q_all = q_ref[0].reshape(rows, h * d)
+    k_all = k_ref[0].reshape(rows, h * d)
+    v_all = v_ref[0].reshape(rows, h * d)
+
+    for hh in range(h):
+        sl = pl.ds(hh * d, d)          # ref write slice (output only)
+        qh = q_all[:, hh * d:(hh + 1) * d]
+        kh = k_all[:, hh * d:(hh + 1) * d]
+        vh = v_all[:, hh * d:(hh + 1) * d]
+        if fixed_max:
+            logits = scale2 * jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) + bias
+            p = jnp.exp2(jnp.minimum(logits, _FIXED_MAX_CLAMP))
+            s = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            acc = jax.lax.dot_general(
+                p.astype(qh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, :, :, sl] = (acc / s).astype(o_ref.dtype).reshape(
+                t, bn, d)          # inverse merge, once per head on [rows, d]
+            continue
+        logits = scale * jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + bias
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        probs = (p / s).astype(qh.dtype)
+        o_ref[0, :, :, sl] = jax.lax.dot_general(
+            probs, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype).reshape(
+            t, bn, d)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nf", "h", "d", "block_rows",
+                                    "fixed_max"))
+def _tmajor_fwd(q, k, v, nf: int, h: int, d: int, block_rows: int = 0,
+                fixed_max: bool = False):
+    """q/k/v [B, T, S, H*D] in the natural spatial-major layout."""
+    b, t, s, hd = q.shape
+    # choose BN spatial slots per block: t*bn ~ target rows, multiple of
+    # the bf16 sublane tile (16)
+    bn = max(1, (block_rows or _TARGET_ROWS) // t)
+    while (t * bn) % 16:
+        bn += 1
+    pad_s = (-s) % bn
+    if pad_s:
+        q, k, v = (jnp.pad(x, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+                   for x in (q, k, v))
+    sp = s + pad_s
+    grid = (b, sp // bn)
+    rows = t * bn
+    # strided mask: row r = t*bn + s_local attends its own spatial slot
+    r = jnp.arange(rows) % bn
+    bias = jnp.where(r[:, None] == r[None, :], 0.0, NEG_INF
+                     ).astype(jnp.float32)
+    kernel = functools.partial(_tmajor_kernel, h=h, d=d, scale=d ** -0.5,
+                               fixed_max=fixed_max)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, t, bn, hd), lambda i, j: (i, 0, j, 0))] * 3
+        + [pl.BlockSpec((rows, rows), lambda i, j: (0, 0))],
+        out_specs=pl.BlockSpec((1, t, bn, hd), lambda i, j: (i, 0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, sp, hd), q.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(q, k, v, bias)
+    return out[:, :, :s] if pad_s else out
+
+
+def _tmajor_ref(q2, k2, v2, num_frames: int, heads: int):
+    """Plain-jnp reference for the tmajor layout (transpose +
+    per-(b, s, head) softmax attention + transpose back), fp32 softmax."""
+    bt, s, hd = q2.shape
+    b = bt // num_frames
+    d = hd // heads
+
+    def to_bshd(x):
+        x = x.reshape(b, num_frames, s, heads, d)
+        return x.transpose(0, 2, 3, 1, 4)            # [B, S, H, T, D]
+
+    q, k, v = to_bshd(q2), to_bshd(k2), to_bshd(v2)
+    logits = jnp.einsum("bshtd,bshud->bshtu", q, k,
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q2.dtype)
+    out = jnp.einsum("bshtu,bshud->bshtd", probs, v)
+    out = out.transpose(0, 3, 1, 2, 4)               # [B, T, S, H, D]
+    return out.reshape(bt, s, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def short_attention_tmajor(q2, k2, v2, num_frames: int, heads: int,
+                           block_rows: int = 0, fixed_max: bool = False):
+    """Temporal self-attention WITHOUT the spatial<->temporal transpose.
+
+    q2/k2/v2: [B*T, S, H*D] — the projections' natural output rows.
+    Attention runs over the frame axis for each (batch, spatial token):
+    the kernel reads [T, BN, H*D] blocks of the [B, T, S, H*D] view
+    (leading-dim split, layout-free) and applies the strided same-slot
+    mask, so the two host-level [B*T, S, C] <-> [B*S, T, C] transposes of
+    the classic layout (2 copies x 23 temporal sites per denoise step)
+    never materialize. Backward recomputes through the plain-jnp
+    reference (training uses the classic layout anyway)."""
+    bt, s, hd = q2.shape
+    b = bt // num_frames
+    d = hd // heads
+    shape4 = (b, num_frames, s, hd)
+    out = _tmajor_fwd(q2.reshape(shape4), k2.reshape(shape4),
+                      v2.reshape(shape4), num_frames, heads, d, block_rows,
+                      fixed_max)
+    return out.reshape(bt, s, hd)
+
+
+def _tmajor_fwd_rule(q2, k2, v2, num_frames, heads, block_rows, fixed_max):
+    return (short_attention_tmajor(q2, k2, v2, num_frames, heads,
+                                   block_rows, fixed_max), (q2, k2, v2))
+
+
+def _tmajor_bwd_rule(num_frames, heads, block_rows, fixed_max, res, g):
+    _, vjp = jax.vjp(
+        lambda a, b_, c: _tmajor_ref(a, b_, c, num_frames, heads), *res)
+    return vjp(g)
+
+
+short_attention_tmajor.defvjp(_tmajor_fwd_rule, _tmajor_bwd_rule)
+
+
 def _short_attn_ref(q, k, v):
     """Plain-jnp reference ([B, L, H, D]), fp32 softmax — identical math
     to attention.py's naive path."""

@@ -150,15 +150,28 @@ class LayerNorm(nn.Module):
 
 
 class Attention(nn.Module):
-    """diffusers Attention: to_q/to_k/to_v (no bias) + to_out (bias)."""
+    """diffusers Attention: to_q/to_k/to_v (no bias) + to_out (bias).
+
+    tmajor_frames: when set to the frame count T, `hidden_states` arrives
+    in the NATURAL spatial-major layout [B*T, S, C] (instead of the
+    classic frames-adjacent [B*S, T, C]) and attention runs over the
+    frame axis per spatial token via
+    kernels/attention.py::temporal_attention_tmajor — eliminating the
+    two physical transposes per temporal site. Cross-attention in this
+    mode expects a PER-SPATIAL-TOKEN single-token context [B, S, 1, D].
+    Param tree and math are identical to the classic layout (rowwise
+    projections are row-order invariant; golden/parity tested)."""
 
     heads: int
     dim_head: int
     cross_attention_dim: Optional[int] = None  # None => self-attention dims
+    tmajor_frames: Optional[int] = None
 
     @nn.compact
     def __call__(self, hidden_states, encoder_hidden_states=None):
         inner = self.heads * self.dim_head
+        if self.tmajor_frames is not None:
+            return self._tmajor(hidden_states, encoder_hidden_states, inner)
         ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         if encoder_hidden_states is not None and ctx.shape[1] == 1:
             # Single context token (SVD cross-attends to one CLIP image
@@ -185,6 +198,31 @@ class Attention(nn.Module):
         out = dot_product_attention(q, k, v)
         out = out.reshape(b, lq, inner)
         return Dense(hidden_states.shape[-1], name="to_out_0")(out)
+
+    def _tmajor(self, hidden_states, encoder_hidden_states, inner):
+        """Spatial-major temporal attention (see class docstring)."""
+        nf = self.tmajor_frames
+        bt, s, ch = hidden_states.shape
+        b = bt // nf
+        if encoder_hidden_states is not None:
+            # per-spatial-token single-token context [B, S, 1, D]:
+            # softmax over one key == 1, so out == projected V per
+            # (batch, spatial token), broadcast over frames. to_q/to_k
+            # touch one token for param-tree parity (dead code, DCE'd).
+            ctx = encoder_hidden_states
+            assert ctx.ndim == 4 and ctx.shape[2] == 1, ctx.shape
+            Dense(inner, use_bias=False, name="to_q")(hidden_states[:, :1])
+            Dense(inner, use_bias=False, name="to_k")(ctx[:, :1, 0])
+            v = Dense(inner, use_bias=False, name="to_v")(ctx[:, :, 0])
+            out = Dense(ch, name="to_out_0")(v)          # [B, S, C]
+            out = jnp.broadcast_to(out[:, None], (b, nf, s, ch))
+            return out.reshape(bt, s, ch)
+        from mofa_tpu.kernels.attention import temporal_attention_tmajor
+        q = Dense(inner, use_bias=False, name="to_q")(hidden_states)
+        k = Dense(inner, use_bias=False, name="to_k")(hidden_states)
+        v = Dense(inner, use_bias=False, name="to_v")(hidden_states)
+        out = temporal_attention_tmajor(q, k, v, nf, self.heads)
+        return Dense(ch, name="to_out_0")(out)
 
 
 class FeedForward(nn.Module):

@@ -45,11 +45,29 @@ class TemporalBasicTransformerBlock(nn.Module):
     cross_attention_dim: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, num_frames: int, encoder_hidden_states=None):
+    def __call__(self, x, num_frames: int, encoder_hidden_states=None,
+                 tmajor: bool = False):
         # x: [B*T, L, C] -> attention over frames per spatial token
         from mofa_tpu.parallel.activation import constrain_batch
         bf, seq, ch = x.shape
         bsz = bf // num_frames
+        if tmajor:
+            # spatial-major fast path: every op here except attn1 is
+            # rowwise (row-order invariant), so the [B*T, L, C] <->
+            # [B*L, T, C] transposes are dropped and attention reads the
+            # natural layout via Attention(tmajor_frames=...). ctx is the
+            # per-spatial-token [B, L, 1, D] form.
+            x = ln_ff_residual(self, x, "norm_in", "ff_in")
+            h = LayerNorm(name="norm1")(x)
+            x = Attention(self.heads, self.dim_head,
+                          tmajor_frames=num_frames, name="attn1")(h) + x
+            if self.cross_attention_dim is not None:
+                h = LayerNorm(name="norm2")(x)
+                x = Attention(self.heads, self.dim_head,
+                              self.cross_attention_dim,
+                              tmajor_frames=num_frames,
+                              name="attn2")(h, encoder_hidden_states) + x
+            return ln_ff_residual(self, x, "norm3", "ff")
         x = x.reshape(bsz, num_frames, seq, ch).transpose(0, 2, 1, 3)
         x = x.reshape(bsz * seq, num_frames, ch)
         # Ulysses-style re-shard for frame-parallel inference: attention is
@@ -96,6 +114,20 @@ class TransformerSpatioTemporalModel(nn.Module):
 
         # temporal cross-attn context = first frame's CLIP tokens per spatial pos
         tc = encoder_hidden_states.reshape(bsz, num_frames, -1, encoder_hidden_states.shape[-1])[:, 0]
+
+        # spatial-major fast path (no [B*T,L,C]<->[B*L,T,C] transposes):
+        # needs a per-(batch, spatial token) SINGLE-token context, which
+        # exists for S=1 contexts in every quirk mode except the odd-B>1
+        # raw-quirk corner (its hw-major flattening interleaves batch).
+        # Off under sharded execution (the frame-parallel all-to-all rides
+        # the classic transposes) — see parallel/activation.py.
+        import os
+        from mofa_tpu.parallel.activation import is_sharded_execution
+        tmajor = (os.environ.get("MOFA_TMAJOR", "") != "0"
+                  and not is_sharded_execution()
+                  and tc.shape[1] == 1
+                  and (bsz == 1 or bsz % 2 == 0
+                       or not self.time_context_hw_major_quirk))
         if self.time_context_hw_major_quirk and bsz % 2 == 0:
             # PAIRWISE quirk semantics. The reference only ever runs the
             # quirk at B=2 (one CFG pair); for it, hidden row (b2, hw)
@@ -117,7 +149,15 @@ class TransformerSpatioTemporalModel(nn.Module):
             sel = (sides[:, None] * (h * w) + hw_idx[None, :]) % 2  # [B, HW]
             ctx = jnp.where(sel[..., None] == 0,
                             tc2[0][vs][:, None, :], tc2[1][vs][:, None, :])
-            time_context = ctx.reshape(bsz * h * w, 1, tcs.shape[-1])
+            if tmajor:
+                time_context = ctx[:, :, None, :]        # [B, HW, 1, D]
+            else:
+                time_context = ctx.reshape(bsz * h * w, 1, tcs.shape[-1])
+        elif self.time_context_hw_major_quirk and tmajor:
+            # bsz == 1 here (tmajor excludes odd B>1 with the quirk): the
+            # hw-major flattening degenerates to a plain broadcast
+            time_context = jnp.broadcast_to(
+                tc[:, None, :1], (bsz, h * w, 1, tc.shape[-1]))
         elif self.time_context_hw_major_quirk:
             # odd batch: the raw reference indexing (for B=1 it reduces to
             # the batch-major no-quirk layout)
@@ -126,6 +166,9 @@ class TransformerSpatioTemporalModel(nn.Module):
             time_context = jnp.broadcast_to(
                 tc[None, :, :1], (h * w, bsz, 1, tc.shape[-1]))
             time_context = time_context.reshape(h * w * bsz, 1, tc.shape[-1])
+        elif tmajor:
+            time_context = jnp.broadcast_to(
+                tc[:, None], (bsz, h * w) + tc.shape[1:])  # [B, HW, 1, D]
         else:
             time_context = jnp.broadcast_to(tc[:, None], (bsz, h * w) + tc.shape[1:])
             time_context = time_context.reshape(bsz * h * w, *tc.shape[1:])
@@ -149,7 +192,8 @@ class TransformerSpatioTemporalModel(nn.Module):
             x_mix = x_spatial + emb
             x_mix = TemporalBasicTransformerBlock(
                 self.heads, self.dim_head, self.cross_attention_dim,
-                name=f"temporal_transformer_blocks_{i}")(x_mix, num_frames, time_context)
+                name=f"temporal_transformer_blocks_{i}")(
+                x_mix, num_frames, time_context, tmajor=tmajor)
             x = AlphaBlender(name="time_mixer")(x_spatial, x_mix, image_only_indicator)
 
         x = Dense(ch, name="proj_out")(x)

@@ -84,3 +84,68 @@ def test_dispatch_still_exact_on_cpu():
     ref = _short_attn_ref(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+# ------------------------------------------------- tmajor (spatial-major)
+
+def _mk_tmajor(b, nf, s, h, d, dtype=jnp.float32, seed=3):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (b * nf, s, h * d)
+    return tuple(jax.random.normal(k, shape, dtype) for k in ks)
+
+
+@pytest.mark.parametrize("b,nf,s,h,d", [
+    (2, 7, 64, 5, 64),    # SVD temporal family (CFG pair x 7 frames)
+    (1, 25, 30, 5, 64),   # keypoint window length, ragged s (pads)
+    (2, 3, 16, 2, 32),    # tiny
+])
+def test_short_attention_tmajor_matches_reference(b, nf, s, h, d):
+    from mofa_tpu.kernels.short_attention import (short_attention_tmajor,
+                                                  _tmajor_ref)
+    q2, k2, v2 = _mk_tmajor(b, nf, s, h, d)
+    got = short_attention_tmajor(q2, k2, v2, nf, h)
+    ref = _tmajor_ref(q2, k2, v2, nf, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # fixed-max variant (the on-chip default) stays exact at O(1) logits
+    got_fm = short_attention_tmajor(q2, k2, v2, nf, h, 0, True)
+    np.testing.assert_allclose(np.asarray(got_fm), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_tmajor_equals_classic_layout():
+    """The tmajor kernel on spatial-major rows == the classic kernel on
+    the transposed layout (same sequences, different row order)."""
+    b, nf, s, h, d = 2, 7, 32, 5, 64
+    q2, k2, v2 = _mk_tmajor(b, nf, s, h, d, seed=5)
+
+    def to_classic(x):      # [B*T, S, HD] -> [B*S, T, H, D]
+        return (x.reshape(b, nf, s, h, d).transpose(0, 2, 1, 3, 4)
+                .reshape(b * s, nf, h, d))
+
+    from mofa_tpu.kernels.short_attention import (short_attention,
+                                                  short_attention_tmajor)
+    got = short_attention_tmajor(q2, k2, v2, nf, h)
+    want = short_attention(to_classic(q2), to_classic(k2), to_classic(v2))
+    want = (want.reshape(b, s, nf, h * d).transpose(0, 2, 1, 3)
+            .reshape(b * nf, s, h * d))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_tmajor_grad_matches_reference():
+    from mofa_tpu.kernels.short_attention import (short_attention_tmajor,
+                                                  _tmajor_ref)
+    q2, k2, v2 = _mk_tmajor(1, 5, 16, 2, 16, seed=7)
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(jnp.square(short_attention_tmajor(q, k, v, 5, 2)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(_tmajor_ref(q, k, v, 5, 2)))
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q2, k2, v2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q2, k2, v2)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)

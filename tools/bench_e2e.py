@@ -87,7 +87,7 @@ def fence(x):
 
 
 def run(h, w, t, steps, chunk, dtype, verbose=True, tiny=False,
-        cfg_split=True, step_chunk=5, bundle=None, n_time=2,
+        cfg_split=True, step_chunk=5, bundle=None, n_time=3,
         include_cmp=True):
     from mofa_tpu.pipelines.traj import TrajPipeline
     from mofa_tpu.pipelines.common import (

@@ -192,11 +192,22 @@ def main():
     t, steps = (args.t, args.steps) if not args.tiny else (5, 2)
     res = {"h": h, "w": w, "frames": t, "steps": steps,
            "dtype": str(jnp.dtype(dtype))}
+    # a leg that dies (e.g. OOM) must not lose the other leg's numbers:
+    # record the error string and keep going (2026-08-20: dual at
+    # 576x1024/T=25 is ResourceExhausted on one 16 GB v5e — params alone
+    # are ~8 GB bf16 with TWO adapters + CLIP resident)
     if args.only in (None, "ldmk"):
-        res.update(run_ldmk(h, w, t, steps, args.chunk, dtype, args.tiny))
+        try:
+            res.update(run_ldmk(h, w, t, steps, args.chunk, dtype,
+                                args.tiny))
+        except Exception as e:  # noqa: BLE001
+            res["ldmk_error"] = str(e).splitlines()[0][:160]
     if args.only in (None, "dual"):
-        res.update(run_dual(h, w, t, steps, args.chunk, dtype, args.tiny,
-                            args.step_chunk))
+        try:
+            res.update(run_dual(h, w, t, steps, args.chunk, dtype,
+                                args.tiny, args.step_chunk))
+        except Exception as e:  # noqa: BLE001
+            res["dual_error"] = str(e).splitlines()[0][:160]
     print(json.dumps({"metric": "fullres_ldmk_dual_seconds", **res}))
 
 

@@ -66,5 +66,48 @@ def main():
                       f"({4 * mb / ms:.0f} GB/s qkv+out)", flush=True)
 
 
+def main_tmajor():
+    """Spatial-major (transpose-free) kernel vs the full classic path
+    (transpose -> kernel -> transpose), at the same temporal sites. The
+    classic leg measures what the UNet actually pays today."""
+    from mofa_tpu.kernels.short_attention import short_attention_tmajor
+
+    shapes = [  # (label, B (cfg x videos), T, S, H, D)
+        ("/8  T7 H5", 2, 7, 9216, 5, 64),
+        ("/16 T7 H10", 2, 7, 2304, 10, 64),
+        ("/32 T7 H20", 2, 7, 576, 20, 64),
+        ("kp  T25 H5", 2, 25, 2304, 5, 64),
+    ]
+    key = jax.random.PRNGKey(1)
+    for name, b, t, s, h, d in shapes:
+        ks = jax.random.split(key, 3)
+        q2, k2, v2 = (jax.random.normal(kk, (b * t, s, h * d), jnp.bfloat16)
+                      for kk in ks)
+        mb = q2.size * 2 / 1e6
+
+        def classic(a, b_, c, b=b, t=t, s=s, h=h, d=d):
+            def tr(x):
+                return (x.reshape(b, t, s, h, d).transpose(0, 2, 1, 3, 4)
+                        .reshape(b * s, t, h, d))
+            o = short_attention(tr(a), tr(b_), tr(c), 0, True)
+            return (o.reshape(b, s, t, h * d).transpose(0, 2, 1, 3)
+                    .reshape(b * t, s, h * d))
+
+        for label, fn in [
+            ("tmajor fx", lambda a, b_, c: short_attention_tmajor(
+                a, b_, c, t, h, 0, True)),
+            ("classic(+2transposes) fx", classic),
+        ]:
+            ms, err = timeit(fn, (q2, k2, v2))
+            if ms is None:
+                print(f"{name} {label}: FAILED {err}", flush=True)
+            else:
+                print(f"{name} {label}: {ms:7.3f} ms "
+                      f"({4 * mb / ms:.0f} GB/s qkv+out)", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--tmajor" in sys.argv:
+        main_tmajor()
+    else:
+        main()
