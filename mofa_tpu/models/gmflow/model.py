@@ -26,6 +26,7 @@ torch checkpoint maps 1:1 onto this tree via models/weights.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Sequence
 
@@ -572,13 +573,29 @@ class GMFlow(nn.Module):
 
 # ----------------------------------------------------------------- driver
 
+@functools.partial(jax.jit, static_argnames=("gmflow",))
+def _apply_chunk_jit(gmflow, params, a, b):
+    """Module-level jit so chunked teacher calls share ONE compiled
+    program across get_optical_flows invocations (flax modules hash by
+    config)."""
+    return gmflow.apply(params, a, b)
+
+
 def get_optical_flows(gmflow: GMFlow, params, video01: jnp.ndarray,
-                      inference_size=(384, 512)) -> jnp.ndarray:
+                      inference_size=(384, 512),
+                      pair_chunk: int | None = None) -> jnp.ndarray:
     """[B, T, H, W, 3] in (0,1) -> frame0->frame_i flows [B, T-1, H, W, 2].
 
     All T-1 pairs run as one batch (vs the reference's sequential loop,
     train_stage1.py:113-143); portrait inputs are transposed to landscape
-    as in preprocess_size (train_stage1.py:69-109)."""
+    as in preprocess_size (train_stage1.py:69-109).
+
+    pair_chunk: run the pair batch in host-driven chunks of this size
+    through ONE compiled program (per chunk shape). The global-correlation
+    volume is [N, hw/64, hw/64] fp32 — at 24 pairs x 384x512 that is
+    ~0.9 GB of a single buffer, which OOMs a 16 GB chip when the full
+    SVD bundle is resident (stage-2 training). Identical math (pairs are
+    independent); a ragged tail chunk compiles its own shape once."""
     from mofa_tpu.ops.resize import resize_nhwc
     b, t, h, w = video01.shape[:4]
     video = video01 * 255.0
@@ -596,7 +613,14 @@ def get_optical_flows(gmflow: GMFlow, params, video01: jnp.ndarray,
         img0 = resize_nhwc(img0, (ih, iw), "bilinear", align_corners=True)
         img1 = resize_nhwc(img1, (ih, iw), "bilinear", align_corners=True)
 
-    flow = gmflow.apply(params, img0, img1)        # [B*(T-1), ih, iw, 2]
+    n = img0.shape[0]
+    if pair_chunk is not None and pair_chunk < n:
+        parts = [_apply_chunk_jit(gmflow, params, img0[i:i + pair_chunk],
+                                  img1[i:i + pair_chunk])
+                 for i in range(0, n, pair_chunk)]
+        flow = jnp.concatenate(parts, axis=0)
+    else:
+        flow = gmflow.apply(params, img0, img1)    # [B*(T-1), ih, iw, 2]
     if (h, w) != (ih, iw):
         flow = resize_nhwc(flow, (h, w), "bilinear", align_corners=True)
         flow = flow * jnp.asarray([w / iw, h / ih], flow.dtype)

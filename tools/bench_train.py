@@ -126,7 +126,10 @@ def run_stage2(args):
 
     def synth():
         tt = time.perf_counter()
-        flows = get_optical_flows(gmflow, gp, px.astype(jnp.float32))
+        # pair_chunk: the full 24-pair batch's correlation volume OOMs a
+        # 16 GB chip with the SVD bundle resident (measured 2026-08-20)
+        flows = get_optical_flows(gmflow, gp, px.astype(jnp.float32),
+                                  pair_chunk=args.teacher_chunk)
         flows_np = np.asarray(flows)             # host fence + mask input
         teacher_s = time.perf_counter() - tt
         tt = time.perf_counter()
@@ -183,6 +186,8 @@ def main():
     ap.add_argument("--stage2", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke of the --stage2 flow at micro configs")
+    ap.add_argument("--teacher_chunk", type=int, default=8,
+                    help="GMFlow teacher pair-batch chunk (HBM bound)")
     args = ap.parse_args()
     bench_mod._maybe_force_cpu()   # honors JAX_PLATFORMS=cpu despite axon
     if args.stage2:
