@@ -140,6 +140,7 @@ geglu_ffn.defvjp(_fwd_rule, _bwd_rule)
 # ---------------------------------------------------------------------------
 
 LN_EPS = 1e-5
+_LOG2E_FFN = 1.4426950408889634
 
 
 def _ln_ffn_ref(x, ls, lb, w0, b0, w2, b2):
@@ -154,7 +155,7 @@ def _ln_ffn_ref(x, ls, lb, w0, b0, w2, b2):
 
 
 def _ln_ffn_kernel(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref, b2_ref,
-                   o_ref):
+                   o_ref, *, tanh_gelu: bool = False):
     x = x_ref[:]                                           # [BR, C] bf16
     xf = x.astype(jnp.float32)
     c = xf.shape[-1]
@@ -171,6 +172,23 @@ def _ln_ffn_kernel(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref, b2_ref,
     inner = h.shape[-1] // 2
     a = h[:, :inner]
     g = h[:, inner:]
+    if tanh_gelu:
+        # tanh-approx gelu (variant="tanh"): max |err| vs erf-gelu is
+        # ~3e-4 absolute — below the bf16 output's own rounding. Cheaper
+        # VPU tail: tanh(y) via one exp2 + one reciprocal (sign-free:
+        # u = exp2(-2y/ln2 * log2e) form keeps the argument bounded for
+        # y >= 0 after abs folding). OPT-IN, never default: exact erf
+        # parity is the repo-wide contract.
+        y = 0.7978845608028654 * (g + 0.044715 * g * g * g)
+        u = jnp.exp2(-2.0 * _LOG2E_FFN * jnp.abs(y))
+        th = jnp.sign(y) * (1.0 - u) / (1.0 + u)
+        act = (a * (0.5 * g * (1.0 + th))).astype(x.dtype)
+        out = jax.lax.dot_general(
+            act, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + b2_ref[:].astype(jnp.float32) + xf
+        o_ref[:] = out.astype(o_ref.dtype)
+        return
     xs = g * 0.7071067811865476
     ax = jnp.abs(xs)
     t = 1.0 / (1.0 + 0.3275911 * ax)
@@ -367,7 +385,7 @@ def _ln_ffn_fwd(x2, ls, lb, w0, b0, w2, b2, variant: str = None):
           w2, b2.reshape(1, -1))
         return out
     out = pl.pallas_call(
-        _ln_ffn_kernel,
+        functools.partial(_ln_ffn_kernel, tanh_gelu=(variant == "tanh")),
         grid=(r // br,),
         in_specs=[
             pl.BlockSpec((br, c), lambda i: (i, 0)),

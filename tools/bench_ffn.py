@@ -72,7 +72,7 @@ def main():
         mb = x.size * 2 / 1e6
         # pipe scratch (2 x BR x 8C fp32) blows the 16 MB scoped-vmem
         # limit at C=640 — skip rather than crash the sweep
-        extra = ([("fused_ilv", "ilv")] +
+        extra = ([("fused_ilv", "ilv"), ("fused_tanh", "tanh")] +
                  ([("fused_pipe", "pipe")] if c <= 320 else [])) if on_tpu else []
         base = np.asarray(_kernel_variant("plain")(*args), np.float32)
         for name, var in extra:
