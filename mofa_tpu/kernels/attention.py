@@ -91,17 +91,18 @@ def temporal_attention_tmajor(q2, k2, v2, num_frames: int, heads: int):
         short_attention_applicable, short_attention_tmajor, _TARGET_ROWS)
 
     def vmem_ok():
-        # the kernel holds q/k/v/out blocks + the [rows, rows] bias and
-        # ~2 fp32 [rows, rows] intermediates on the 16 MB scoped-vmem
-        # stack; at T=25 the 16-sublane alignment forces rows=400, and
-        # fp32 activations (training) at HD=1280 blow the limit
-        # (measured: 20.3 M > 16 M on the stage-2 train step)
+        # scoped-vmem stack estimate: q/k/v/out blocks PLUS the in-kernel
+        # [T,BN,HD]->[rows,HD] merged copies (~2x the operands) and the
+        # fp32 [rows, rows] bias/logits/probs. Calibrated against the
+        # measured fp32 T=25 HD=1280 failure (20.3 M actual vs 19 M est >
+        # 16 M limit) and the measured-fitting bf16 T=25 HD=1280 ldmk
+        # fullres compile (~10.8 M est).
         bn = max(1, _TARGET_ROWS // num_frames)
         while (num_frames * bn) % 16:
             bn += 1
         rows = num_frames * bn
-        est = 4 * rows * hd * q2.dtype.itemsize + rows * rows * 4 * 3
-        return est <= 12 * 1024 * 1024
+        est = 8 * rows * hd * q2.dtype.itemsize + rows * rows * 4 * 4
+        return est <= 14 * 1024 * 1024
 
     if (os.environ.get("MOFA_SHORT_ATTN", "") != "0"
             and short_attention_applicable(b * s, num_frames, num_frames,
