@@ -44,7 +44,15 @@ class GroupNorm(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pool_leading: int = 1):
+        """pool_leading=K: stats are pooled over groups of K consecutive
+        leading-dim samples (rows r*K..r*K+K-1 share mean/var). This is
+        how the temporal resnets express torch's 5-D GroupNorm (stats
+        over C/G x T x H x W per video) WITHOUT reshaping the activation
+        to [B, T, HW, C]: the 4-D cross-frame reduce made XLA relayout
+        the fp32 intermediate HW-minor (~0.5 ms per site at the /8 bench
+        shape, device trace 2026-08-20); per-row partials on the natural
+        [B*T, HW, C] rows reduce over lanes-friendly axes only."""
         c = x.shape[-1]
         g = self.num_groups
         assert c % g == 0, (c, g)
@@ -64,14 +72,23 @@ class GroupNorm(nn.Module):
         # Instead reduce over the spatial axes to per-channel partials
         # [N, C] and combine channels into groups on that tiny tensor.
         axes = tuple(range(1, xf.ndim - 1))
-        s1 = jnp.sum(xf, axis=axes)
+        s1 = jnp.sum(xf, axis=axes)                       # [N, C]
         s2 = jnp.sum(jnp.square(xf), axis=axes)
-        n = (xf.size // xf.shape[0] // c) * (c // g)  # elements per group
+        k = pool_leading
+        if k > 1:
+            # pool the per-row partials over each K-row block (tiny
+            # [N, C] tensors — no big-activation relayout)
+            s1 = s1.reshape(-1, k, c).sum(1)
+            s2 = s2.reshape(-1, k, c).sum(1)
+        n = (xf.size // xf.shape[0] // c) * (c // g) * k  # elems per group
         gs1 = s1.reshape(-1, g, c // g).sum(-1)
         gs2 = s2.reshape(-1, g, c // g).sum(-1)
         mean = gs1 / n
         var = jnp.maximum(gs2 / n - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + self.eps)
+        if k > 1:
+            mean = jnp.repeat(mean, k, axis=0)
+            inv = jnp.repeat(inv, k, axis=0)
         bshape = (xf.shape[0],) + (1,) * (xf.ndim - 2) + (c,)
         mean_c = jnp.repeat(mean, c // g, axis=-1).reshape(bshape)
         inv_c = jnp.repeat(inv, c // g, axis=-1).reshape(bshape)

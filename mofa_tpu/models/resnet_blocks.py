@@ -110,20 +110,29 @@ class TemporalResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None):
         b, tt, hh, ww, in_ch = x.shape
-        x = x.reshape(b, tt, hh * ww, in_ch)
-        h = GroupNorm(32, self.eps, name="norm1")(x)
+        # norms/silu run on the NATURAL flat [B*T, HW, C] rows with
+        # frame-pooled stats (pool_leading) — running them on the
+        # [B, T, HW, C] view made XLA relayout the fp32 GN intermediate
+        # HW-minor (~0.5 ms x 2 norms per /8 site, device trace
+        # 2026-08-20); only TemporalConv3 sees the 4-D view (leading-dim
+        # split, layout-free)
+        flat = lambda y: y.reshape(b * tt, hh * ww, y.shape[-1])
+        to4 = lambda y: y.reshape(b, tt, hh * ww, y.shape[-1])
+        x = flat(x)
+        h = GroupNorm(32, self.eps, name="norm1")(x, pool_leading=tt)
         h = nn.silu(h)
-        h = TemporalConv3(self.out_channels, name="conv1")(h)
+        h = flat(TemporalConv3(self.out_channels, name="conv1")(to4(h)))
         if self.use_temb and temb is not None:
-            # temb [B, T, temb_ch] -> bias over [B, T, 1, C]
+            # temb [B, T, temb_ch] -> bias over [B*T, 1, C]
             t = Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
-            h = h + t[:, :, None, :]
-        h = GroupNorm(32, self.eps, name="norm2")(h)
+            h = h + t.reshape(b * tt, 1, self.out_channels)
+        h = GroupNorm(32, self.eps, name="norm2")(h, pool_leading=tt)
         h = nn.silu(h)
-        h = TemporalConv3(self.out_channels, name="conv2")(h)
+        h = TemporalConv3(self.out_channels, name="conv2")(to4(h))
+        x4 = to4(x)
         if in_ch != self.out_channels:
-            x = PointwiseConv3D(self.out_channels, name="conv_shortcut")(x)
-        return (x + h).reshape(b, tt, hh, ww, self.out_channels)
+            x4 = PointwiseConv3D(self.out_channels, name="conv_shortcut")(x4)
+        return (x4 + h).reshape(b, tt, hh, ww, self.out_channels)
 
 
 class SpatioTemporalResBlock(nn.Module):
