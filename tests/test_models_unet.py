@@ -94,3 +94,43 @@ def test_precomputed_features_match_inline():
     for a, b in zip(d1, d2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+
+
+def test_tmajor_equals_classic_through_transformer_block():
+    """The spatial-major temporal fast path must equal the classic
+    transpose path THROUGH TransformerSpatioTemporalModel (not just the
+    kernel) in every quirk mode it dispatches for: B=2 pairwise quirk,
+    B=1 quirk, quirk off (MOFA_TMAJOR=0 forces the classic path)."""
+    import os
+    import dataclasses
+    from mofa_tpu.models.transformer_blocks import (
+        TransformerSpatioTemporalModel)
+
+    def run(quirk, bsz, toggle):
+        m = TransformerSpatioTemporalModel(
+            heads=2, dim_head=16, num_layers=1, cross_attention_dim=16,
+            time_context_hw_major_quirk=quirk)
+        rng = np.random.RandomState(0)
+        t, hh, ww, ch = 3, 4, 4, 32   # ch % 32 == 0 for the GroupNorm
+        x = jnp.asarray(rng.randn(bsz * t, hh, ww, ch).astype(np.float32))
+        ehs = jnp.asarray(rng.randn(bsz * t, 1, 16).astype(np.float32))
+        ind = jnp.zeros((bsz, t))
+        params = m.init(jax.random.PRNGKey(0), x, ehs, ind)
+        old = os.environ.get("MOFA_TMAJOR")
+        try:
+            os.environ["MOFA_TMAJOR"] = toggle
+            # fresh closure per toggle: the env is read at TRACE time
+            out = jax.jit(lambda p, a, b, c: m.apply(p, a, b, c))(
+                params, x, ehs, ind)
+        finally:
+            if old is None:
+                os.environ.pop("MOFA_TMAJOR", None)
+            else:
+                os.environ["MOFA_TMAJOR"] = old
+        return np.asarray(out)
+
+    for quirk, bsz in [(True, 2), (True, 1), (False, 2)]:
+        got = run(quirk, bsz, "1")
+        want = run(quirk, bsz, "0")
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5,
+                                   err_msg=f"quirk={quirk} B={bsz}")

@@ -192,3 +192,23 @@ def test_flow_epe_metrics():
     assert abs(m["epe"] - 5.0 / 16) < 1e-6
     assert abs(m["5px"] - 0.0) < 1e-6  # 5.0 is not > 5
     assert abs(m["3px"] - 1.0 / 16) < 1e-6
+
+
+def test_group_norm_pool_leading_matches_grouped_view():
+    """GroupNorm(pool_leading=K) on flat [B*K, HW, C] rows == GroupNorm
+    on the [B, K*HW, C] view (stats pooled across the K-row blocks) —
+    the torch 5-D GN semantics of the temporal resnets."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mofa_tpu.models.layers import GroupNorm
+
+    rng = np.random.RandomState(0)
+    b, k, s, c = 2, 3, 10, 32
+    x = rng.randn(b * k, s, c).astype(np.float32)
+    m = GroupNorm(8, 1e-5)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = m.apply(params, jnp.asarray(x), pool_leading=k)
+    want = m.apply(params, jnp.asarray(x).reshape(b, k * s, c))
+    np.testing.assert_allclose(np.asarray(got).reshape(b, k * s, c),
+                               np.asarray(want), atol=2e-6, rtol=2e-6)
