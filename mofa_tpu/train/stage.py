@@ -168,7 +168,13 @@ def _with_frozen(bundle: ModelBundle, frozen) -> ModelBundle:
 def _maybe_sharded(mesh):
     """sharded_execution ctx when compiling for a >1-device mesh (routes
     kernel dispatch away from partitioner-opaque Pallas calls); nullctx
-    on a single device so the fused single-chip hot path is untouched."""
+    on a single device so the fused single-chip hot path is untouched.
+
+    (An A/B gating the tmajor temporal path off for training measured
+    1.26 s/step classic vs 1.24 s/step tmajor on the stage-1 operating
+    point, 2026-08-20 — the recompute-backward is NOT a regression, so
+    training traces use the same dispatch as inference; the r03 1.19
+    s/step was same-code tunnel-day variance.)"""
     import contextlib
     if mesh is not None and mesh.size > 1:
         from mofa_tpu.parallel.activation import sharded_execution

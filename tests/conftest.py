@@ -1,4 +1,19 @@
 import os
+import resource
+
+# Raise the main-thread C-stack soft limit (8 MB default): the full suite
+# deterministically SEGFAULTed in XLA:CPU while compiling the traj
+# pipeline's scanned denoise late in the run (the same test passes
+# standalone and in small combinations — accumulated stack/heap state
+# pushes a deep XLA pass over the 8 MB soft limit). The hard limit is
+# unlimited here; 64 MB is comfortably above XLA's worst observed depth.
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    if _soft != resource.RLIM_INFINITY and _soft < 64 * 1024 * 1024:
+        resource.setrlimit(resource.RLIMIT_STACK,
+                           (64 * 1024 * 1024, _hard))
+except (ValueError, OSError):  # pragma: no cover - restrictive sandboxes
+    pass
 
 # 8-way virtual CPU mesh (the standard JAX substitute for a multi-chip slice).
 # NOTE: this environment force-registers an 'axon' (tunneled TPU) platform via
