@@ -67,14 +67,17 @@ class TemporalConv3(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 1, 1, cin, co), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (co,), jnp.float32)
-        # [3,1,1,Cin,Co] -> [Cin, 3*Co] (tap-major lanes, split back below)
+        # [3,1,1,Cin,Co] -> [Cin, 3*Co] (tap-major lanes, lane-sliced
+        # back below: the former [B,T,HW,3,Co] 5-D reshape made XLA
+        # relayout the whole GEMM output — 4 x ~124 MB copies per /8
+        # site in the compiled HLO; slicing the 3C lane dim keeps the
+        # [*, lanes] layout intact)
         wcat = jnp.moveaxis(kernel[:, 0, 0], 0, 1).reshape(cin, 3 * co)
         z = jnp.dot(x, wcat.astype(x.dtype))            # [B, T, HW, 3*Co]
-        z = z.reshape(b, t, s, 3, co)
-        y = z[..., 1, :]
+        y = z[..., co:2 * co]
         # tap 0 multiplies frame t-1; tap 2 multiplies frame t+1
-        y = y + jnp.pad(z[:, : t - 1, :, 0, :], ((0, 0), (1, 0), (0, 0), (0, 0)))
-        y = y + jnp.pad(z[:, 1:, :, 2, :], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        y = y + jnp.pad(z[:, : t - 1, :, :co], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        y = y + jnp.pad(z[:, 1:, :, 2 * co:], ((0, 0), (0, 1), (0, 0), (0, 0)))
         return y + bias.astype(y.dtype)
 
 
