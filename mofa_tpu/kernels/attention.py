@@ -88,7 +88,8 @@ def temporal_attention_tmajor(q2, k2, v2, num_frames: int, heads: int):
     b = bt // num_frames
     d = hd // heads
     from mofa_tpu.kernels.short_attention import (
-        short_attention_applicable, short_attention_tmajor, _TARGET_ROWS)
+        short_attention_applicable, short_attention_tmajor,
+        tmajor_block_shape)
 
     def vmem_ok():
         # scoped-vmem stack estimate: q/k/v/out blocks PLUS the in-kernel
@@ -97,10 +98,7 @@ def temporal_attention_tmajor(q2, k2, v2, num_frames: int, heads: int):
         # measured fp32 T=25 HD=1280 failure (20.3 M actual vs 19 M est >
         # 16 M limit) and the measured-fitting bf16 T=25 HD=1280 ldmk
         # fullres compile (~10.8 M est).
-        bn = max(1, _TARGET_ROWS // num_frames)
-        while (num_frames * bn) % 16:
-            bn += 1
-        rows = num_frames * bn
+        _, rows = tmajor_block_shape(num_frames)
         est = 8 * rows * hd * q2.dtype.itemsize + rows * rows * 4 * 4
         return est <= 14 * 1024 * 1024
 

@@ -195,6 +195,17 @@ def _tmajor_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, h: int, d: int,
             t, bn, d)
 
 
+def tmajor_block_shape(t: int, block_rows: int = 0) -> tuple[int, int]:
+    """(bn, rows) for the tmajor kernel: BN spatial slots per block with
+    t*bn ~ target rows, rounded up to a multiple of the bf16 sublane
+    tile (16). Shared with the dispatch-side VMEM estimate
+    (kernels/attention.py) so gate and kernel can't drift."""
+    bn = max(1, (block_rows or _TARGET_ROWS) // t)
+    while (t * bn) % 16:
+        bn += 1
+    return bn, t * bn
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nf", "h", "d", "block_rows",
                                     "fixed_max"))
@@ -202,11 +213,7 @@ def _tmajor_fwd(q, k, v, nf: int, h: int, d: int, block_rows: int = 0,
                 fixed_max: bool = False):
     """q/k/v [B, T, S, H*D] in the natural spatial-major layout."""
     b, t, s, hd = q.shape
-    # choose BN spatial slots per block: t*bn ~ target rows, multiple of
-    # the bf16 sublane tile (16)
-    bn = max(1, (block_rows or _TARGET_ROWS) // t)
-    while (t * bn) % 16:
-        bn += 1
+    bn, _ = tmajor_block_shape(t, block_rows)
     pad_s = (-s) % bn
     if pad_s:
         q, k, v = (jnp.pad(x, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
