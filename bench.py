@@ -1,15 +1,26 @@
-"""Benchmark: denoised frames/sec/chip at 576x1024 (the BASELINE.json metric).
+"""Benchmark: single-chip END-TO-END 25-frame 576x1024 video (primary).
 
-Runs the denoise hot loop — CFG2 x (FlowControlNet + frozen SVD UNet +
-Euler step) scanned over 25 steps — on one chip, bf16, with the full SVD
-channel config and Pallas flash attention over the 72x128=9216 spatial
-tokens. Frame count T=7 is the per-chip share of a frame-sharded v5e-8
-deployment (25 frames / 8 chips, rounded to the sliding-window anchor+6);
-"denoised frames/sec/chip" = T / time(full 25-step scan).
+PRIMARY metric (r05, VERDICT r04 task 3): `e2e_frames_per_sec_single_chip`
+— the MEASURED full 25-frame/25-step 576x1024 traj video on one chip (CMP
+flow completion + CLIP/VAE encodes + T=25 cfg_split denoise + chunked
+decode). Round 4 proved the old T=7 proxy both misses real wins (tmajor:
+-8% e2e, ~0 proxy — the T=7 temporal transposes were XLA-fused) and
+models zero cross-chip cost; the e2e number is what a user experiences.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md), so the
-anchor is the north-star target from BASELINE.json — 25 frames in <20 s
-on v5e-8 = 0.15625 frames/sec/chip. vs_baseline = value / 0.15625.
+Secondary fields:
+- `proxy_t7_frames_per_sec_per_chip`: the historical T=7 proxy (25/8
+  frames rounded to anchor+6), kept for cross-round comparability
+  (BENCH_r01..r04 tracked it as `value`).
+- `projected_v5e8_e2e_s`: this run's measured phases projected onto a
+  frame-sharded v5e-8 — denoise/8 + steps x ICI collective bound from the
+  sharded-HLO inventory (PROJECTION_v5e8.json, tools/project_v5e8.py) +
+  decode/8 + unsharded fixed phases. Absent if no projection file.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the anchor
+is the north-star target from BASELINE.json — 25 frames in <20 s on
+v5e-8 = 1.25 aggregate f/s = 0.15625 f/s per chip. vs_baseline =
+e2e frames/sec single-chip / 0.15625 (i.e. how many of the 8-chip
+target's per-chip shares ONE chip delivers end to end).
 
 Prints exactly one JSON line.
 """
@@ -76,6 +87,27 @@ T = 7
 T_E2E = 25         # the honest end-to-end config: full 25-frame video
 STEPS = 25
 TARGET_FPS_PER_CHIP = 25.0 / 20.0 / 8.0  # north-star: 25f < 20s on v5e-8
+
+
+def _add_v5e8_projection(out, e2e):
+    """Fold the sharded-HLO ICI bound (PROJECTION_v5e8.json, if present)
+    into a v5e-8 e2e projection from THIS run's measured phases."""
+    proj_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "PROJECTION_v5e8.json")
+    if not os.path.exists(proj_path):
+        return
+    try:
+        with open(proj_path) as f:
+            proj = json.load(f)
+        ici = float(proj["ici_seconds_per_step"])
+        fixed = (e2e["cmp_s"] + e2e["encode_clip_s"] + e2e["encode_vae_s"])
+        v5e8 = (e2e["denoise_s"] / 8.0 + STEPS * ici
+                + e2e["decode_s"] / 8.0 + fixed)
+        out["projected_v5e8_e2e_s"] = round(v5e8, 3)
+        out["projected_v5e8_ici_s_per_step"] = ici
+        out["projected_v5e8_meets_20s_target"] = v5e8 < 20.0
+    except Exception as exc:  # noqa: BLE001 — projection is best-effort
+        out["projected_v5e8_error"] = str(exc)[:120]
 
 
 def main():
@@ -193,17 +225,20 @@ def main():
     fps = t / dt
     if on_tpu:
         out = {
-            "metric": "denoised_frames_per_sec_per_chip_576x1024",
-            "value": round(fps, 4),
-            "unit": "frames/sec/chip",
-            "vs_baseline": round(fps / TARGET_FPS_PER_CHIP, 4),
+            "metric": "e2e_frames_per_sec_single_chip_576x1024_25f25s",
+            "value": None,            # filled from the e2e leg below
+            "unit": "frames/sec (measured single-chip end-to-end)",
+            "vs_baseline": None,
+            "proxy_t7_frames_per_sec_per_chip": round(fps, 4),
+            "proxy_note": ("T=7 proxy kept for r01-r04 comparability; it "
+                           "models zero cross-chip cost and misses "
+                           "T=25-only wins (r04: tmajor -8% e2e, ~0 proxy)"),
         }
-        # honest single-chip END-TO-END number (VERDICT r1 item 3): the
-        # full 25-frame/25-step 576x1024 video — CMP flow completion,
-        # CLIP+VAE encode, T=25 denoise (cfg_split + 5-step program
-        # chunks; see pipelines/traj), chunked VAE decode — measured, not
-        # projected; phase times are medians of 3 reps (VERDICT r2 item
-        # 7). Reuses the bundle.
+        # the PRIMARY measurement: the full 25-frame/25-step 576x1024
+        # video — CMP flow completion, CLIP+VAE encode, T=25 denoise
+        # (cfg_split + 5-step program chunks; see pipelines/traj),
+        # chunked VAE decode — measured, not projected; phase times are
+        # medians of 3 reps. Reuses the bundle.
         if not os.environ.get("BENCH_SKIP_E2E"):
             try:
                 import bench_e2e
@@ -217,12 +252,21 @@ def main():
                 out["e2e_decode_s"] = e2e["decode_s"]
                 out["e2e_encode_s"] = round(
                     e2e["encode_clip_s"] + e2e["encode_vae_s"], 3)
-                out["e2e_frames_per_sec_single_chip"] = round(
+                out["value"] = round(
                     T_E2E / e2e["e2e_seconds_single_chip"], 4)
-            except Exception as exc:  # noqa: BLE001 — keep the primary metric
+                out["vs_baseline"] = round(
+                    out["value"] / TARGET_FPS_PER_CHIP, 4)
+                _add_v5e8_projection(out, e2e)
+            except Exception as exc:  # noqa: BLE001 — keep the proxy metric
                 print(f"bench.py: e2e leg failed: {exc!r}", file=sys.stderr,
                       flush=True)
                 out["e2e_error"] = str(exc)[:160]
+        if out["value"] is None:
+            # e2e leg skipped/failed: fall back to the proxy as value so
+            # the driver line is never empty, flagged as such
+            out["value"] = round(fps, 4)
+            out["unit"] = "frames/sec/chip (T=7 PROXY — e2e leg missing)"
+            out["vs_baseline"] = round(fps / TARGET_FPS_PER_CHIP, 4)
         print(json.dumps(out))
     else:
         # no TPU reachable: report the smoke run honestly — micro-config

@@ -6,8 +6,9 @@ first-frame 3DMM coeffs + predicted coeff track -> facevid2vid render.
 Here the whole per-frame loop is one jitted lax.scan
 (models/facerender.make_animation).
 
-Inputs: --coeff_npz holds `full_3dmm` (first-frame fit, the external-fit
-contract shared with audio2ldmk_app) and --driving_coeffs_npz holds
+Inputs: --coeff_npz holds `full_3dmm` (first-frame fit — produced
+in-framework by `face_fit_app`, same contract as audio2ldmk_app) and
+--driving_coeffs_npz holds
 `coeff_3dmm` [F, 70] (exp + pose track, e.g. from the audio2coeff stage).
 Weights: --ckpt is the combined facerender checkpoint
 (SadTalker_V0.0.2_256.safetensors layout; generator./kp_extractor./

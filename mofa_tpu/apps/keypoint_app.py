@@ -6,8 +6,10 @@ npy contract the reference's SadTalker/AniPortrait generators emit:
 [T, 68, 2] (x, y) at image coords) -> rasterized landmark video + CMP
 landmark flow -> sliding-window KeypointPipeline -> mp4.
 
-The audio->landmark generators remain an external CPU stage (SURVEY.md §5);
-`mofa_tpu.preprocess.audio` hosts the in-repo reimplementations.
+The audio->landmark generators are in-framework: `apps/audio2ldmk_app.py`
+(SadTalker / AniPortrait / video engines over `models/audio/`) emits the
+landmarks.npy this CLI consumes; any generator honoring the npy contract
+works too.
 """
 
 from __future__ import annotations

@@ -89,17 +89,12 @@ def temporal_attention_tmajor(q2, k2, v2, num_frames: int, heads: int):
     d = hd // heads
     from mofa_tpu.kernels.short_attention import (
         short_attention_applicable, short_attention_tmajor,
-        tmajor_block_shape)
+        tmajor_vmem_estimate)
 
     def vmem_ok():
-        # scoped-vmem stack estimate: q/k/v/out blocks PLUS the in-kernel
-        # [T,BN,HD]->[rows,HD] merged copies (~2x the operands) and the
-        # fp32 [rows, rows] bias/logits/probs. Calibrated against the
-        # measured fp32 T=25 HD=1280 failure (20.3 M actual vs 19 M est >
-        # 16 M limit) and the measured-fitting bf16 T=25 HD=1280 ldmk
-        # fullres compile (~10.8 M est).
-        _, rows = tmajor_block_shape(num_frames)
-        est = 8 * rows * hd * q2.dtype.itemsize + rows * rows * 4 * 4
+        # single source of truth for the block-footprint estimate +
+        # calibration record: short_attention.tmajor_vmem_estimate
+        est = tmajor_vmem_estimate(num_frames, hd, q2.dtype.itemsize)
         return est <= 14 * 1024 * 1024
 
     if (os.environ.get("MOFA_SHORT_ATTN", "") != "0"

@@ -173,8 +173,11 @@ def _ln_ffn_kernel(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref, b2_ref,
     a = h[:, :inner]
     g = h[:, inner:]
     if tanh_gelu:
-        # tanh-approx gelu (variant="tanh"): max |err| vs erf-gelu is
-        # ~3e-4 absolute — below the bf16 output's own rounding. Cheaper
+        # tanh-approx gelu (variant="tanh"): PER-ELEMENT |err| vs
+        # erf-gelu is ~3e-4, but the error correlates across the inner
+        # axis and amplifies through the second GEMM — measured ~3.1e-2
+        # on-chip after GEMM2 (tools/bench_ffn.py, 2026-08-20), far above
+        # bf16 rounding. A measured numerics NEGATIVE. Cheaper
         # VPU tail: tanh(y) via one exp2 + one reciprocal (sign-free:
         # u = exp2(-2y/ln2 * log2e) form keeps the argument bounded for
         # y >= 0 after abs folding). OPT-IN, never default: exact erf

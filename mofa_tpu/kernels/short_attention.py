@@ -206,6 +206,22 @@ def tmajor_block_shape(t: int, block_rows: int = 0) -> tuple[int, int]:
     return bn, t * bn
 
 
+def tmajor_vmem_estimate(t: int, hd: int, itemsize: int) -> int:
+    """Scoped-vmem bytes the tmajor kernel's block needs: q/k/v/out
+    blocks PLUS the in-kernel [T,BN,HD]->[rows,HD] merged copies (~2x
+    the operands) and the fp32 [rows, rows] bias/logits/probs/max
+    intermediates. Calibrated against the measured fp32 T=25 HD=1280
+    failure (20.3 MB actual vs 19 MB est > 16 MB limit) and the
+    measured-fitting bf16 T=25 HD=1280 ldmk fullres compile (~10.8 MB
+    est). The dispatch gate (kernels/attention.py) checks this against
+    14 MB — a 2 MB margin below the 16 MB scoped-vmem limit; fp32
+    inputs double the operand term, so new fp32 shapes sit closer to
+    the line than the bf16 calibration points (tools/bench_short_attn.py
+    --tmajor prints est-vs-actual for every shape it runs)."""
+    _, rows = tmajor_block_shape(t)
+    return 8 * rows * hd * itemsize + rows * rows * 4 * 4
+
+
 @functools.partial(jax.jit,
                    static_argnames=("nf", "h", "d", "block_rows",
                                     "fixed_max"))

@@ -294,8 +294,10 @@ def audio_to_landmarks(a2m, a2m_params, a2p, a2p_params, wav_path: str,
                        id_seed: int = 42) -> np.ndarray:
     """Full audio2ldmk.py main (:184-294): audio -> 68-pt landmark track.
 
-    ref_lmks [468+, 2] pixel coords of the reference image (from an external
-    face landmarker); ref_lmks3d [468, 3]; trans_mat [4, 4]."""
+    ref_lmks [468+, 2] pixel coords of the reference image (from the
+    in-framework FaceLandmarkerJax via `audio2ldmk_app --task`, or any
+    landmarker with the same contract); ref_lmks3d [468, 3];
+    trans_mat [4, 4]."""
     sample = prepare_audio_feature(wav_path, fps=fps, sampling_rate=sr)
     audio = jnp.asarray(sample["audio_feature"])[None]
     seq_len = sample["seq_len"]

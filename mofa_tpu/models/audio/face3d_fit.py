@@ -9,8 +9,10 @@ face, bicubic resize + crop to 224).  Consumed by
 `full_3dmm` / `coeff_3dmm` / `trans_params` — exactly the `--coeff_npz`
 contract of audio2ldmk_app / facerender_app.
 
-The only remaining external stage is the 68-point keypoint detector
-(facexlib); given those keypoints this module runs the whole fit on TPU.
+The 68-point keypoints come in-framework too (BlazeFace box via
+models/mp_face.py + AWing FAN via models/face_alignment.py — see
+`apps/face_fit_app.py`); precomputed `--kp` keypoints remain accepted.
+This module runs the whole fit on TPU.
 """
 
 from __future__ import annotations

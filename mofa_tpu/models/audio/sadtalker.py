@@ -17,9 +17,11 @@ Re-derivation of /root/reference/MOFA-Video-Hybrid/sadtalker_audio2pose/:
   (the pytorch3d mesh RENDERING is visualization-only and omitted; the
   landmarks never needed it).
 
-The per-image 3DMM fit (CropAndExtract: facexlib 68-kpt + ResNet-50
-regressor) remains an external stage supplying `full_3dmm`/`trans_params`
-with the reference .mat contract.
+The per-image 3DMM fit (CropAndExtract: 68-kpt + ResNet-50 regressor) is
+IN-FRAMEWORK since round 3: `apps/face_fit_app.py` (BlazeFace --task box +
+AWing FAN alignment + models/audio/face3d_fit.py ReconNet) emits the
+`full_3dmm`/`trans_params` npz this module consumes; precomputed npz from
+any fit stage remains accepted as the same contract.
 """
 
 from __future__ import annotations
@@ -498,8 +500,9 @@ def sadtalker_video_to_landmarks(bfm: BFMModel,
     """Video-driven retargeting (sadtalker_video2pose path): the driving
     video's per-frame exp+pose track (the --ref_pose flow of
     run_gradio_video_driven.py) steers the reference identity. Per-frame
-    3DMM fits of the driving video come from the external fit stage with
-    the same coeff contract."""
+    3DMM fits of the driving video come from the in-framework raw-mp4 fit
+    (preprocess/video_fit.py: BlazeFace box + batched AWing FAN + batched
+    ReconNet), or any precomputed track with the same coeff contract."""
     coeffs = driving_coeffs70.astype(np.float32).copy()
     if relative_pose:
         ref_pose = np.concatenate([first_frame_coeff257[0, 224:227],

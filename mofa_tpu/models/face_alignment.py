@@ -10,8 +10,10 @@ channels, 98+1 heatmaps at 64x64); weights load from the facexlib
 `alignment_WFLW_4HG.pth` checkpoint via
 `models.weights.convert_fan_state_dict`.
 
-Face DETECTION (retinaface) stays an external contract (`--bbox`), per
-README "Deliberate omissions" — alignment was the heavy in-loop piece.
+Face DETECTION runs in-framework via BlazeFace (models/mp_face.py
+`detect_face`, `--task`); a manual `--bbox` stays as an override. The
+reference's retinaface detector itself is not transcribed (README
+"Deliberate omissions") — BlazeFace fills its role.
 """
 
 from __future__ import annotations

@@ -173,7 +173,19 @@ def convert_vae_state_dict(flax_params: dict,
     resolver (index folding + greedy name joining); this wrapper exists so
     callers/tests name the intent and any future VAE-specific remap has a
     home. Golden-tested in tests/test_vae_clip_golden.py.
+
+    Dead-key handling: at layers_per_block=1 diffusers still CREATES
+    `decoder.mid_block.attentions.0` params but its forward zip-truncates
+    them away (unet_3d_blocks.MidBlockTemporalDecoder.forward), and the
+    Flax tree correspondingly has no `mid_block_attentions_0` — such
+    checkpoint keys are dropped here (gated on the target tree actually
+    lacking the module) so strict mode stays meaningful for every caller.
     """
+    root = flax_params.get("params", flax_params)
+    decoder = root.get("decoder", {}) if isinstance(root, dict) else {}
+    if "mid_block_attentions_0" not in decoder:
+        torch_sd = {k: v for k, v in torch_sd.items()
+                    if not k.startswith("decoder.mid_block.attentions.")}
     return convert_torch_state_dict(flax_params, torch_sd, strict=strict)
 
 

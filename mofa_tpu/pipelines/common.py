@@ -35,6 +35,45 @@ class ModelBundle:
     # optional second adapter (Hybrid dual-control)
     controlnet2: Any = None
     controlnet2_params: Any = None
+    # host staging for phase-scoped encoder residency (offload_encoders)
+    _vae_host: Any = dataclasses.field(default=None, repr=False)
+    _clip_host: Any = dataclasses.field(default=None, repr=False)
+
+    # -- phase-scoped encoder residency -------------------------------
+    # VAE + CLIP params (~1.36 GB bf16 at the SVD config) are dead weight
+    # during the denoise loop: CLIP runs once at encode, the VAE at
+    # encode + final decode. The reference holds everything resident on a
+    # 24 GB+ CUDA GPU (run_gradio_audio_driven.py loads all five modules
+    # up front); on a 16 GB v5e that margin is what the dual-adapter
+    # flagship needs for its second residual stack. Offload keeps a host
+    # copy (fetched once) and deletes the device buffers; ensure_* lazily
+    # re-uploads before the next encoder/decoder use.
+
+    def offload_encoders(self) -> None:
+        """Free VAE+CLIP device buffers (host copies cached on first call)."""
+        for attr, host_attr in (("vae_params", "_vae_host"),
+                                ("clip_params", "_clip_host")):
+            params = getattr(self, attr)
+            if params is None:
+                continue
+            if getattr(self, host_attr) is None:
+                setattr(self, host_attr, jax.device_get(params))
+            for leaf in jax.tree_util.tree_leaves(params):
+                if isinstance(leaf, jax.Array):
+                    leaf.delete()
+            setattr(self, attr, None)
+
+    def _ensure(self, attr: str, host_attr: str) -> None:
+        if getattr(self, attr) is None:
+            host = getattr(self, host_attr)
+            assert host is not None, f"{attr} offloaded without a host copy"
+            setattr(self, attr, jax.device_put(host))
+
+    def ensure_vae(self) -> None:
+        self._ensure("vae_params", "_vae_host")
+
+    def ensure_clip(self) -> None:
+        self._ensure("clip_params", "_clip_host")
 
     @classmethod
     def init_random(cls, key, unet_cfg: SVDUNetConfig, vae_cfg: VAEConfig,
@@ -82,11 +121,15 @@ def params_dtype(params) -> jnp.dtype:
     compute, so an uncast fp32 latent would silently run the whole UNet
     off the bf16 MXU path (2-3x slower, 2x activation HBM). Mirrors the
     reference's fp16 autocast boundary (pipeline.py:446-511 runs the
-    model fp16 while scheduler math stays fp32)."""
-    for leaf in jax.tree_util.tree_leaves(params):
-        if jnp.issubdtype(leaf.dtype, jnp.floating):
-            return leaf.dtype
-    return jnp.float32
+    model fp16 while scheduler math stays fp32).
+
+    Quant-aware: int8 weight-only trees (core/quant.py) carry fp32
+    scales that must not masquerade as the compute dtype — the dtype is
+    taken from the first floating NON-quantized leaf (norm affines and
+    biases keep the compute dtype)."""
+    from mofa_tpu.core.quant import quant_params_dtype
+    dt = quant_params_dtype(params)
+    return dt if dt is not None else jnp.float32
 
 
 @functools.partial(jax.jit, static_argnames=("clip", "do_cfg"))
@@ -111,6 +154,7 @@ def encode_clip_image(bundle: ModelBundle, image01: jnp.ndarray,
     module-level jit program: eagerly dispatching the ~hundreds of CLIP
     ops costs ~9 s/video over the axon tunnel (~30 ms RTT per dispatch).
     """
+    bundle.ensure_clip()
     return _encode_clip_jit(bundle.clip, bundle.clip_params, image01, do_cfg)
 
 
@@ -129,6 +173,7 @@ def encode_vae_image(bundle: ModelBundle, image_pm1: jnp.ndarray,
     """[B, H, W, 3] in [-1,1] -> latent mean [2B or B, h, w, 4] (UNSCALED,
     matching pipeline.py:143-163). One jit program per shape (see
     encode_clip_image on tunnel dispatch cost)."""
+    bundle.ensure_vae()
     return _encode_vae_jit(bundle.vae, bundle.vae_params, image_pm1, do_cfg)
 
 
@@ -139,7 +184,9 @@ def decode_latents(bundle: ModelBundle, latents: jnp.ndarray,
     Chunked temporal decode with chunk-local temporal convs, matching
     pipeline.py:194-220 (each chunk is its own 'video').
     """
-    vae_params = bundle.vae_params if vae_params is None else vae_params
+    if vae_params is None:
+        bundle.ensure_vae()
+        vae_params = bundle.vae_params
     b, t = latents.shape[:2]
     flat = latents.reshape((b * t,) + latents.shape[2:])
     flat = (flat / bundle.vae.cfg.scaling_factor).astype(
@@ -191,6 +238,7 @@ def decode_latents_jit(bundle: ModelBundle, latents: jnp.ndarray,
     pipeline.py:194-220 stay exact and no collective is needed inside the
     decoder. A ragged remainder chunk is decoded separately (padding it
     would change its temporal-conv neighborhood)."""
+    bundle.ensure_vae()
     vae = bundle.vae
 
     b, t = latents.shape[:2]

@@ -64,7 +64,8 @@ class HybridPipeline:
                  latents: Optional[jnp.ndarray] = None,
                  output_type: str = "np",
                  cfg_split: bool = False,
-                 step_chunk: Optional[int] = None):
+                 step_chunk: Optional[int] = None,
+                 offload_encoders: bool = False):
         """image01 [B,H,W,3]; controlnet_flow/drag_flow [B,T-1,H,W,2];
         landmarks [B,T,H,W,3]; face_mask [B,H,W,1] in {0,1}.
 
@@ -75,7 +76,14 @@ class HybridPipeline:
         576x1024 / T=25 deployment point on one 16 GB v5e chip. As in
         traj, cfg_split is bit-identical to the batched path only with
         time_context_hw_major_quirk=False (the split halves run at B=1,
-        which disables the pairwise hw-major context quirk)."""
+        which disables the pairwise hw-major context quirk).
+
+        offload_encoders: free the VAE+CLIP device buffers (~1.36 GB
+        bf16) for the denoise loop once the encodes are done; they are
+        lazily re-uploaded at decode (ModelBundle.offload_encoders).
+        Bit-identical to the resident path — the third lever (with
+        cfg_split + step_chunk) that fits the dual-adapter flagship at
+        576x1024/T=25 on one 16 GB chip."""
         b = image01.shape[0]
         if (cfg_split and b != 1
                 and self.bundle.unet.cfg.time_context_hw_major_quirk):
@@ -100,6 +108,9 @@ class HybridPipeline:
 
         added_time_ids = get_add_time_ids(6, 128, noise_aug_strength, b,
                                           do_cfg=True)
+        if offload_encoders:
+            # encodes are done; VAE/CLIP are dead weight until decode
+            self.bundle.offload_encoders()
 
         latent_c = self.bundle.unet.cfg.in_channels // 2
         if latents is None:
@@ -168,7 +179,13 @@ class HybridPipeline:
                                flow_cfg, drag_cfg, ldmk_cfg):
         """Step-independent warped feature stacks for BOTH adapters
         (warp once per video; occlusion masks are diagnostics, dropped)."""
+        from mofa_tpu.core.quant import maybe_dequantize
+        from mofa_tpu.pipelines.common import params_dtype
         face_cn, drag_cn = self.bundle.controlnet, self.bundle.controlnet2
+        # single-use context: dequant without a loop token (core/quant.py)
+        cd = params_dtype(face_params)
+        face_params = maybe_dequantize(face_params, cd)
+        drag_params = maybe_dequantize(drag_params, cd)
         inject_face, _ = face_cn.apply(
             face_params, cond_image, flow_cfg, ldmk_cfg,
             method=type(face_cn).encode_features)
@@ -192,12 +209,21 @@ class HybridPipeline:
         b = b2 // 2
 
         def model_call(latent_in, ts, ehs, ids):
+            from mofa_tpu.core.quant import maybe_dequantize
+            # int8 bundles: materialize compute-dtype weights HERE, pinned
+            # by a loop-varying token — (ts, ehs) varies per Euler step
+            # AND per CFG side, so under cfg_split each lax.map body gets
+            # its own transient copy instead of one held across the step
+            token = (ts, ehs)
+            u_params = maybe_dequantize(unet_params, cd, token)
+            f_params = maybe_dequantize(face_params, cd, token)
+            d_params = maybe_dequantize(drag_params, cd, token)
             down_face, mid_face = face_cn.apply(
-                face_params, latent_in, ts, ehs, ids,
+                f_params, latent_in, ts, ehs, ids,
                 conditioning_scale=scale_ldmk,
                 precomputed_features=inject_face)
             down_drag, mid_drag = drag_cn.apply(
-                drag_params, latent_in, ts, ehs, ids,
+                d_params, latent_in, ts, ehs, ids,
                 conditioning_scale=scale_traj,
                 precomputed_features=inject_drag)
 
@@ -221,7 +247,7 @@ class HybridPipeline:
             mid_res = blend_bt(mid_face, mid_drag)
 
             return bundle.unet.apply(
-                unet_params, latent_in, ts, ehs, ids,
+                u_params, latent_in, ts, ehs, ids,
                 down_block_additional_residuals=down_res,
                 mid_block_additional_residual=mid_res)
 

@@ -95,7 +95,8 @@ class KeypointPipeline:
                  latents: Optional[jnp.ndarray] = None,
                  output_type: str = "np",
                  window_batch: int = 1,
-                 cfg_split: bool = False):
+                 cfg_split: bool = False,
+                 offload_encoders: bool = False):
         """image01 [1,H,W,3] in [0,1]; controlnet_flow [1,T-1,H,W,2];
         landmarks [1,T,H,W,3] rasterized landmark images in [0,1].
 
@@ -112,7 +113,13 @@ class KeypointPipeline:
         chip). Small-programs mode with window_batch=1 only (it exists to
         SHRINK the program; batching widens it). Same numerics caveat as
         TrajPipeline: identical to the batched path only with
-        time_context_hw_major_quirk=False."""
+        time_context_hw_major_quirk=False.
+
+        offload_encoders: free the VAE+CLIP device buffers (~1.36 GB
+        bf16) after the encodes, re-uploaded lazily at decode
+        (ModelBundle.offload_encoders; bit-identical outputs). Measured
+        necessary for window_batch=5 at 512^2x125f on one 16 GB chip
+        (the wb=5 program peaked 285 MB over HBM with them resident)."""
         if cfg_split and (self.big_program or window_batch != 1):
             raise ValueError("cfg_split requires big_program=False and "
                              "window_batch=1 (it exists to shrink the "
@@ -133,6 +140,9 @@ class KeypointPipeline:
         image_latents = jnp.repeat(image_latents[:, None], t, axis=1)
 
         added_time_ids = get_add_time_ids(6, 128, noise_aug_strength, b, do_cfg=True)
+        if offload_encoders:
+            # encodes are done; VAE/CLIP are dead weight until decode
+            self.bundle.offload_encoders()
 
         latent_c = self.bundle.unet.cfg.in_channels // 2
         if latents is None:

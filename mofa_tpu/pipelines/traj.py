@@ -63,7 +63,8 @@ class TrajPipeline:
                  latents: Optional[jnp.ndarray] = None,
                  output_type: str = "np",
                  cfg_split: bool = False,
-                 step_chunk: Optional[int] = None):
+                 step_chunk: Optional[int] = None,
+                 offload_encoders: bool = False):
         """image01: [B, H, W, 3] first frame in [0,1] (already sized /64);
         controlnet_flow: [B, T-1, H, W, 2]. Returns (frames [B,T,H,W,3] in
         [0,1] (or latents), controlnet_flow).
@@ -87,7 +88,11 @@ class TrajPipeline:
         in their own program and passed in. Use when a single program
         would run long enough to trip an execution watchdog — the axon
         tunnel kills device programs running >~1 min (T=25 576x1024
-        25-step is ~70 s in one program)."""
+        25-step is ~70 s in one program).
+
+        offload_encoders: free the VAE+CLIP device buffers (~1.36 GB
+        bf16) for the denoise loop; re-uploaded lazily at decode
+        (ModelBundle.offload_encoders, bit-identical outputs)."""
         b = image01.shape[0]
         if (cfg_split and b != 1
                 and self.bundle.unet.cfg.time_context_hw_major_quirk):
@@ -116,6 +121,10 @@ class TrajPipeline:
         else:
             added_time_ids = get_add_time_ids(fps - 1, motion_bucket_id,
                                               noise_aug_strength, b, do_cfg=True)
+
+        if offload_encoders:
+            # encodes are done; VAE/CLIP are dead weight until decode
+            self.bundle.offload_encoders()
 
         latent_c = self.bundle.unet.cfg.in_channels // 2
         if latents is None:

@@ -5,11 +5,24 @@ Re-derivation of `sample_inputs` / `get_cmp_flow`
 the clip's dense flow is masked by (grid, watershed) samples from its last
 frame, rescaled to the 384^2 CMP canvas (component-scaled), completed by
 CMP, and returned at the training resolution. The mask sampling is host
-numpy (scipy); the CMP completion is one batched jit call.
+numpy (scipy); the whole device side (resize + sparse scale + CMP + final
+rescale) runs as ONE jitted program — eagerly dispatching the CMP
+resnet's ~hundreds of ops costs seconds over the axon tunnel (~30 ms RTT
+per dispatch; same rationale as pipelines/common.encode_clip_image).
+
+`Stage2InputPipeline` adds the deployment-shaped overlap (VERDICT r04
+task 4): the reference computes teacher flow + CMP inline per step and
+eats the full input-synthesis latency (SURVEY §3.4); here the host mask
+sampling of batch N runs WHILE the device computes the teacher flows of
+batch N+1, so steady-state wall per step approaches
+max(device teacher+cmp+step, host mask) instead of their sum.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,31 +39,123 @@ def scale_flow_to(flow: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return rescale_flow(flow, height, width)
 
 
+@functools.partial(jax.jit, static_argnames=("cmp", "train_size"))
+def _stage2_cmp_jit(cmp, cmp_params, px, sparse, mask, *, train_size):
+    """Device half of get_cmp_flow as one program: resize to the 384^2 CMP
+    canvas (component-scaled flow), complete with CMP, rescale to the
+    train size. Module-level jit so the compiled program is cached across
+    steps (cmp hashes by config)."""
+    b, tm1 = sparse.shape[:2]
+    h, w = sparse.shape[2:4]
+    if (h, w) != (384, 384):
+        px = resize_nhwc(px, (384, 384), method="nearest")
+        sparse = rescale_flow(sparse, 384, 384)
+        mask = resize_nhwc(mask, (384, 384), method="nearest")
+    flat = lambda x: x.reshape((b * tm1,) + x.shape[2:])
+    dense = cmp.apply(cmp_params, cmp_preprocess(flat(px)), flat(sparse),
+                      flat(mask))
+    dense = dense.reshape((b, tm1) + dense.shape[1:])
+    return rescale_flow(dense, *train_size)
+
+
 def stage2_control_flow(cmp, cmp_params, pixel_values01: np.ndarray,
                         flows: np.ndarray, train_size: tuple[int, int],
                         rng=None):
     """pixel_values01 [b,t,h,w,3] (0,1); flows [b,t-1,h,w,2] dense teacher
     flow at (h,w). Returns (controlnet_flow [b,t-1,H,W,2] jnp at train_size,
     mask [b,t-1,h,w,2] np)."""
-    b, tm1 = flows.shape[:2]
-    h, w = flows.shape[2:4]
-
+    tm1 = flows.shape[1]
     mask = clip_sample_mask(flows, rng=rng)                 # [b, t-1, h, w, 2]
     sparse = flows * mask
-
-    px = jnp.asarray(pixel_values01[:, :tm1])
-    sp = jnp.asarray(sparse)
-    mk = jnp.asarray(mask)
-    if (h, w) != (384, 384):
-        px = resize_nhwc(px, (384, 384), method="nearest")
-        sp = rescale_flow(sp, 384, 384)
-        mk = resize_nhwc(mk, (384, 384), method="nearest")
-
-    flat = lambda x: x.reshape((b * tm1,) + x.shape[2:])
-    dense = cmp.apply(cmp_params, cmp_preprocess(flat(px)), flat(sp), flat(mk))
-    dense = dense.reshape((b, tm1) + dense.shape[1:])
-    dense = rescale_flow(dense, *train_size)
+    dense = _stage2_cmp_jit(cmp, cmp_params,
+                            jnp.asarray(pixel_values01[:, :tm1]),
+                            jnp.asarray(sparse), jnp.asarray(mask),
+                            train_size=tuple(train_size))
     return dense, mask
+
+
+class Stage2InputPipeline:
+    """One-batch-lookahead stage-2 input synthesis.
+
+    Per batch the dependency chain is
+        teacher(device) -> fetch -> mask(host scipy) -> CMP+step(device);
+    the pipeline keeps the device busy with batch N+1's teacher while the
+    host samples batch N's mask:
+
+        dispatch teacher(0)
+        for i: fetch flows(i); dispatch teacher(i+1);   # device busy
+               mask(i) on host (overlapped);            # host busy
+               CMP(i) + caller's step(i)                # device (queued)
+
+    Exact same math/rng-order as the sequential path when batches arrive
+    in the same order (one flow_sampler draw per clip, batch order
+    preserved). Reference counterpart: the inline per-step synthesis of
+    train_stage2.py:1249-1268 (which has no such overlap).
+    """
+
+    def __init__(self, gmflow, gmflow_params, cmp, cmp_params,
+                 train_size, inference_size=(384, 512),
+                 pair_chunk: int | None = 8, teacher_dtype=None, rng=None):
+        from mofa_tpu.models.gmflow.model import get_optical_flows
+        self._get_flows = get_optical_flows
+        self.gmflow, self.cmp = gmflow, cmp
+        self.cmp_params = cmp_params
+        self.train_size = tuple(train_size)
+        self.inference_size = inference_size
+        self.pair_chunk = pair_chunk
+        self.rng = rng
+        if teacher_dtype is not None:
+            gmflow_params = jax.tree_util.tree_map(
+                lambda x: x.astype(teacher_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                gmflow_params)
+        self.gmflow_params = gmflow_params
+        self._teacher_dtype = teacher_dtype
+
+    def _teacher(self, px_dev):
+        x = px_dev
+        if self._teacher_dtype is not None:
+            x = x.astype(self._teacher_dtype)
+        else:
+            x = x.astype(jnp.float32)
+        f = self._get_flows(self.gmflow, self.gmflow_params, x,
+                            inference_size=self.inference_size,
+                            pair_chunk=self.pair_chunk)
+        return f.astype(jnp.float32)
+
+    def run(self, clips, step_fn):
+        """clips: iterable of [b, t, h, w, 3] float01 numpy arrays.
+        step_fn(batch_dict) is the caller's train step (it should fence —
+        e.g. fetch the loss). Yields step_fn's result per batch."""
+        it = iter(clips)
+        try:
+            px_np = next(it)
+        except StopIteration:
+            return
+        px_dev = jnp.asarray(px_np)
+        flows_dev = self._teacher(px_dev)         # dispatch teacher(0)
+        while True:
+            try:
+                flows_dev.copy_to_host_async()
+            except AttributeError:  # older jax Array types
+                pass
+            flows_np = np.asarray(flows_dev)      # waits on teacher(i)
+            cur_px_np, cur_px_dev = px_np, px_dev
+            try:
+                px_np = next(it)
+            except StopIteration:
+                px_np = None
+            if px_np is not None:
+                px_dev = jnp.asarray(px_np)
+                flows_dev = self._teacher(px_dev)  # device: teacher(i+1)
+            # host mask sampling overlaps teacher(i+1) on the device
+            dense, _ = stage2_control_flow(
+                self.cmp, self.cmp_params, cur_px_np, flows_np,
+                self.train_size, rng=self.rng)
+            yield step_fn({"pixel_values01": jnp.asarray(cur_px_np),
+                           "flows": dense})
+            if px_np is None:
+                return
 
 
 def make_stage2_batch(cmp, cmp_params, pixel_values01: np.ndarray,

@@ -39,12 +39,10 @@ def _tiny_vae_pair(seed=0, cfg=TINY_VAE_CONFIG):
     params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
                     num_frames=2)
     sd = tm.state_dict()
-    if cfg.layers_per_block == 1:
-        # at num_layers=1 diffusers creates the decoder mid attention but
-        # never runs it (zip truncation) — the Flax tree has no params for
-        # it, so drop the dead keys before the strict conversion
-        sd = {k: v for k, v in sd.items()
-              if not k.startswith("decoder.mid_block.attentions.")}
+    # at num_layers=1 diffusers creates the decoder mid attention but
+    # never runs it (zip truncation) — convert_vae_state_dict drops the
+    # dead keys itself (gated on the Flax tree lacking the module), so
+    # strict conversion of the raw state dict must succeed as-is
     params = convert_vae_state_dict(params, sd)
     return m, params, tm
 

@@ -148,13 +148,26 @@ def run_ldmk(h, w, t, steps, chunk, dtype, tiny):
             "ldmk_e2e_s": round(den + dec, 3)}
 
 
-def run_dual(h, w, t, steps, chunk, dtype, tiny, step_chunk):
-    """Dual-adapter hybrid pipeline at full res, cfg_split + step_chunk."""
+def run_dual(h, w, t, steps, chunk, dtype, tiny, step_chunk, offload=True,
+             quant=False):
+    """Dual-adapter hybrid pipeline at full res, cfg_split + step_chunk.
+
+    offload: phase-scoped VAE/CLIP residency (frees ~1.36 GB bf16 during
+    the denoise loop; bit-identical outputs). quant: int8 weight-only
+    storage for the frozen UNet + both adapters (core/quant.py)."""
     from mofa_tpu.pipelines.hybrid import HybridPipeline
     from mofa_tpu.pipelines.common import decode_latents_jit
     t0 = time.perf_counter()
     bundle = materialize(h, w, t, dtype, tiny, dual=True)
-    log(f"dual params materialized {time.perf_counter()-t0:.1f}s")
+    if quant:
+        from mofa_tpu.core.quant import quantize_tree
+        bundle.unet_params = quantize_tree(bundle.unet_params)
+        bundle.controlnet_params = quantize_tree(bundle.controlnet_params)
+        bundle.controlnet2_params = quantize_tree(bundle.controlnet2_params)
+        jax.block_until_ready((bundle.unet_params, bundle.controlnet_params,
+                               bundle.controlnet2_params))
+    log(f"dual params materialized {time.perf_counter()-t0:.1f}s "
+        f"(offload={offload} quant={quant})")
     pipe = HybridPipeline(bundle)
     image01 = jnp.full((1, h, w, 3), 0.5, dtype)
     flow = jnp.zeros((1, t - 1, h, w, 2), dtype)
@@ -163,7 +176,7 @@ def run_dual(h, w, t, steps, chunk, dtype, tiny, step_chunk):
     mask = jnp.ones((1, h, w, 1), dtype)
     kw = dict(num_inference_steps=steps, decode_chunk_size=chunk,
               key=jax.random.PRNGKey(42), cfg_split=True,
-              step_chunk=step_chunk)
+              step_chunk=step_chunk, offload_encoders=offload)
     _, den, lat = timed(
         f"dual denoise T={t} x{steps} {h}x{w} cfg_split sc={step_chunk}",
         lambda: pipe(image01, flow, drag, ldmk, mask,
@@ -172,7 +185,8 @@ def run_dual(h, w, t, steps, chunk, dtype, tiny, step_chunk):
                       lambda: decode_latents_jit(bundle, lat, chunk))
     del bundle, pipe
     return {"dual_denoise_s": round(den, 3), "dual_decode_s": round(dec, 3),
-            "dual_e2e_s": round(den + dec, 3)}
+            "dual_e2e_s": round(den + dec, 3),
+            "dual_offload": offload, "dual_quant": quant}
 
 
 def main():
@@ -185,6 +199,10 @@ def main():
     ap.add_argument("--step_chunk", type=int, default=2)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--only", choices=["ldmk", "dual"])
+    ap.add_argument("--no_offload", action="store_true",
+                    help="keep VAE/CLIP resident during denoise (r04 mode)")
+    ap.add_argument("--quant", action="store_true",
+                    help="int8 weight-only storage for UNet + adapters")
     args = ap.parse_args()
     bench_mod._maybe_force_cpu()
     dtype = jnp.bfloat16
@@ -205,9 +223,14 @@ def main():
     if args.only in (None, "dual"):
         try:
             res.update(run_dual(h, w, t, steps, args.chunk, dtype,
-                                args.tiny, args.step_chunk))
+                                args.tiny, args.step_chunk,
+                                offload=not args.no_offload,
+                                quant=args.quant))
         except Exception as e:  # noqa: BLE001
-            res["dual_error"] = str(e).splitlines()[0][:160]
+            # keep the allocator's requested/available byte counts — they
+            # size the remaining gap when a leg OOMs
+            msg = " | ".join(l.strip() for l in str(e).splitlines()[:6])
+            res["dual_error"] = msg[:600]
     print(json.dumps({"metric": "fullres_ldmk_dual_seconds", **res}))
 
 

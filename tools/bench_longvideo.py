@@ -98,6 +98,8 @@ def main():
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--wb", default="1,5", help="comma list of window_batch")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--no_offload", action="store_true",
+                    help="keep VAE/CLIP resident during denoise")
     args = ap.parse_args()
 
     bench_mod._maybe_force_cpu()
@@ -119,18 +121,26 @@ def main():
     flow = jnp.zeros((1, t - 1, h, w, 2), dtype)
     ldmk = jnp.full((1, t, h, w, 3), 0.25, dtype)
 
-    results = {}
+    results = {"offload_encoders": not args.no_offload}
     for wb in [int(x) for x in args.wb.split(",")]:
         times = []
-        for rep in range(2):
-            tr = time.perf_counter()
-            frames, _ = pipe(image01, flow, ldmk,
-                             window_size=window, stride=stride,
-                             num_inference_steps=steps,
-                             key=jax.random.PRNGKey(42), window_batch=wb)
-            fence(frames)
-            times.append(time.perf_counter() - tr)
-            log(f"wb={wb} rep={rep}: {times[-1]:.1f}s")
+        try:
+            for rep in range(2):
+                tr = time.perf_counter()
+                frames, _ = pipe(image01, flow, ldmk,
+                                 window_size=window, stride=stride,
+                                 num_inference_steps=steps,
+                                 key=jax.random.PRNGKey(42), window_batch=wb,
+                                 offload_encoders=not args.no_offload)
+                fence(frames)
+                times.append(time.perf_counter() - tr)
+                log(f"wb={wb} rep={rep}: {times[-1]:.1f}s")
+        except Exception as e:  # noqa: BLE001 — keep the other legs' numbers
+            # (2026-08-20: wb=5 at 512^2 OOM'd at compile WITHOUT offload —
+            # 16.03G of 15.75G HBM — and took the whole run's JSON with it)
+            results[f"wb{wb}_error"] = " | ".join(
+                l.strip() for l in str(e).splitlines()[:4])[:400]
+            continue
         results[f"wb{wb}_first_s"] = round(times[0], 1)
         results[f"wb{wb}_steady_s"] = round(times[1], 1)
         results[f"wb{wb}_steady_fps"] = round(t / times[1], 3)

@@ -79,11 +79,19 @@ def main_tmajor():
         ("kp  T25 H5", 2, 25, 2304, 5, 64),
     ]
     key = jax.random.PRNGKey(1)
+    from mofa_tpu.kernels.short_attention import tmajor_vmem_estimate
     for name, b, t, s, h, d in shapes:
         ks = jax.random.split(key, 3)
         q2, k2, v2 = (jax.random.normal(kk, (b * t, s, h * d), jnp.bfloat16)
                       for kk in ks)
         mb = q2.size * 2 / 1e6
+        # print the dispatch gate's scoped-vmem estimate next to the
+        # measured run so every new shape adds an est-vs-actual anchor to
+        # the calibrated heuristic: if a shape passes the gate here but
+        # FAILS Mosaic allocation, the 14 MB margin needs tightening
+        est = tmajor_vmem_estimate(t, h * d, q2.dtype.itemsize)
+        print(f"{name}: vmem_ok est {est / 1e6:.1f} MB "
+              f"(gate passes: {est <= 14 * 1024 * 1024})", flush=True)
 
         def classic(a, b_, c, b=b, t=t, s=s, h=h, d=d):
             def tr(x):

@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import bench as bench_mod  # tunnel probe / JAX_PLATFORMS honoring
+import bench as bench_mod  # used below: bench_mod._maybe_force_cpu()
 
 import jax
 import jax.numpy as jnp
@@ -124,55 +124,109 @@ def run_stage2(args):
     px_np = rng.rand(b, t, hw, hw, 3).astype(np.float32)
     px = jnp.asarray(px_np, dtype)
 
+    import statistics
+    import json
+    from mofa_tpu.train.flow_sampler import clip_sample_mask
+    from mofa_tpu.train.inputs import _stage2_cmp_jit, Stage2InputPipeline
+
+    teacher_dtype = jnp.bfloat16 if args.teacher_bf16 else None
+    gp_run = (jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, gp)
+        if args.teacher_bf16 else gp)
+
+    if args.overlap:
+        # host-pipelined mode (Stage2InputPipeline): mask(i) on host
+        # overlaps teacher(i+1) on device; wall time per yielded step is
+        # the deployment number
+        pipe = Stage2InputPipeline(
+            gmflow, gp, cmp, cmp_params, (hw, hw),
+            pair_chunk=args.teacher_chunk, teacher_dtype=teacher_dtype,
+            rng=rng)
+        stt = {"state": state}
+
+        def step_fn(batch):
+            batch = {k: v.astype(dtype) if k == "pixel_values01" else v
+                     for k, v in batch.items()}
+            stt["state"], metrics = step(stt["state"], batch,
+                                         jax.random.PRNGKey(2), frozen)
+            return float(metrics["loss"])
+
+        n = args.iters + 2
+        clips = (px_np for _ in range(n))
+        walls, tprev = [], time.perf_counter()
+        for i, loss in enumerate(pipe.run(clips, step_fn)):
+            now = time.perf_counter()
+            walls.append(now - tprev)
+            tprev = now
+            print(f"stage2 overlap iter {i}: wall {walls[-1]:.2f}s "
+                  f"(loss {loss:.4f})", flush=True)
+        steady = statistics.median(walls[2:]) if len(walls) > 2 else walls[-1]
+        print(json.dumps({
+            "metric": "stage2_seconds_per_step",
+            "mode": "overlap", "teacher_bf16": bool(args.teacher_bf16),
+            "train_size": hw, "frames": t, "cmp_size": 384,
+            "total_s": round(steady, 3),
+            "walls": [round(x, 3) for x in walls]}), flush=True)
+        return
+
     def synth():
         tt = time.perf_counter()
         # pair_chunk: the full 24-pair batch's correlation volume OOMs a
         # 16 GB chip with the SVD bundle resident (measured 2026-08-20)
-        flows = get_optical_flows(gmflow, gp, px.astype(jnp.float32),
+        tdt = teacher_dtype or jnp.float32
+        flows = get_optical_flows(gmflow, gp_run, px.astype(tdt),
                                   pair_chunk=args.teacher_chunk)
-        flows_np = np.asarray(flows)             # host fence + mask input
+        flows_np = np.asarray(flows).astype(np.float32)  # fence + mask input
         teacher_s = time.perf_counter() - tt
         tt = time.perf_counter()
-        dense, _ = stage2_control_flow(cmp, cmp_params, px_np, flows_np,
-                                       (hw, hw), rng=rng)
-        dense = jnp.asarray(dense, dtype)
+        mask = clip_sample_mask(flows_np, rng=rng)       # host scipy
+        mask_s = time.perf_counter() - tt
+        tt = time.perf_counter()
+        dense = _stage2_cmp_jit(cmp, cmp_params,
+                                jnp.asarray(px_np[:, :t - 1]),
+                                jnp.asarray(flows_np * mask),
+                                jnp.asarray(mask), train_size=(hw, hw))
+        dense = dense.astype(dtype)
         float(jnp.sum(dense.astype(jnp.float32)))
         cmp_s = time.perf_counter() - tt
-        return dense, teacher_s, cmp_s
+        return dense, teacher_s, mask_s, cmp_s
 
     # compile + first
     t0 = time.perf_counter()
-    dense, teacher_s, cmp_s = synth()
+    dense, teacher_s, mask_s, cmp_s = synth()
     batch = {"pixel_values01": px, "flows": dense}
     state, metrics = step(state, batch, jax.random.PRNGKey(1), frozen)
     float(metrics["loss"])
     print(f"compile+first {time.perf_counter() - t0:.0f}s "
-          f"(teacher {teacher_s:.1f}s, mask+cmp {cmp_s:.1f}s)", flush=True)
+          f"(teacher {teacher_s:.1f}s, mask {mask_s:.1f}s, "
+          f"cmp {cmp_s:.1f}s)", flush=True)
 
-    import statistics
     rows = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        dense, teacher_s, cmp_s = synth()
+        dense, teacher_s, mask_s, cmp_s = synth()
         batch = {"pixel_values01": px, "flows": dense}
         ts = time.perf_counter()
         state, metrics = step(state, batch, jax.random.PRNGKey(2), frozen)
         loss = float(metrics["loss"])
         step_s = time.perf_counter() - ts
         total = time.perf_counter() - t0
-        rows.append((teacher_s, cmp_s, step_s, total))
+        rows.append((teacher_s, mask_s, cmp_s, step_s, total))
         print(f"stage2 {t}f train {hw}^2 cmp 384^2: total {total:.2f}s = "
-              f"teacher {teacher_s:.2f} + mask/cmp {cmp_s:.2f} + "
-              f"step {step_s:.2f} (loss {loss:.4f})", flush=True)
+              f"teacher {teacher_s:.2f} + mask {mask_s:.2f} + cmp "
+              f"{cmp_s:.2f} + step {step_s:.2f} (loss {loss:.4f})",
+              flush=True)
     med = [statistics.median(c) for c in zip(*rows)]
-    import json
     print(json.dumps({
         "metric": "stage2_seconds_per_step",
+        "mode": "sequential", "teacher_bf16": bool(args.teacher_bf16),
         "train_size": hw, "frames": t, "cmp_size": 384,
-        "teacher_s": round(med[0], 3), "mask_cmp_s": round(med[1], 3),
-        "step_s": round(med[2], 3), "total_s": round(med[3], 3),
-        "input_synthesis_share": round((med[0] + med[1]) / med[3], 3)}),
-        flush=True)
+        "teacher_s": round(med[0], 3), "mask_s": round(med[1], 3),
+        "cmp_s": round(med[2], 3), "step_s": round(med[3], 3),
+        "total_s": round(med[4], 3),
+        "input_synthesis_share": round(
+            (med[0] + med[1] + med[2]) / med[4], 3)}), flush=True)
 
 
 def main():
@@ -184,6 +238,13 @@ def main():
     ap.add_argument("--memory_lean", type=int, default=1)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--stage2", action="store_true")
+    ap.add_argument("--overlap", action="store_true",
+                    help="host-pipelined input synthesis "
+                         "(Stage2InputPipeline): mask(i) overlaps "
+                         "teacher(i+1)")
+    ap.add_argument("--teacher_bf16", action="store_true",
+                    help="run the GMFlow teacher in bf16 (A/B vs fp32; "
+                         "EPE bound in tests/test_gmflow_golden.py)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke of the --stage2 flow at micro configs")
     ap.add_argument("--teacher_chunk", type=int, default=8,
