@@ -42,6 +42,13 @@ def build_parser():
     p.add_argument("--conditioning_dropout_prob", type=float, default=0.1)
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--overlap_inputs", action="store_true",
+                   help="stage 2: host-pipelined input synthesis — mask "
+                        "sampling overlaps the next batch's teacher flows "
+                        "(Stage2InputPipeline; accum=1 only)")
+    p.add_argument("--teacher_bf16", action="store_true",
+                   help="run the GMFlow teacher in bf16 (EPE bound: "
+                        "tests/test_gmflow_golden.py::test_teacher_bf16_epe_bound)")
     p.add_argument("--use_8bit_adam", action="store_true",
                    help="memory-lean optimizer (factored adafactor)")
     p.add_argument("--seed", type=int, default=23123134)
@@ -164,28 +171,58 @@ def run(args):
 
     key = jax.random.PRNGKey(args.seed)
     rng_np = np.random.RandomState(args.seed)
-    t_last = time.time()
-    for step_no in range(start_step, args.num_train_steps):
-        px = next(loader)["pixel_values01"]
-        batch = make_batch(px, rng_np)
-        if accum > 1:
-            batch = {k: v.reshape((accum, args.batch_size) + v.shape[1:])
-                     for k, v in batch.items()}
-        key, sub = jax.random.split(key)
-        state, metrics = step_fn(state, batch, sub, frozen_tree)
+    tick = {"t": time.time()}
 
+    def after_step(step_no, metrics, px, batch):
         if (step_no + 1) % args.log_every == 0:
-            dt = (time.time() - t_last) / args.log_every
-            t_last = time.time()
+            dt = (time.time() - tick["t"]) / args.log_every
+            tick["t"] = time.time()
             logger.info(
                 f"step {step_no + 1} loss {float(metrics['loss']):.4f} "
                 f"grad_norm {float(metrics['grad_norm']):.3f} "
                 f"{dt:.2f}s/it")
         ckpt.save(step_no + 1, state)
-
         if (step_no + 1) % args.validation_steps == 0:
             _render_validation(args, bundle, state, px, batch, step_no + 1,
                                write_video, logger)
+
+    if args.stage == 2 and args.overlap_inputs and accum == 1:
+        # host-pipelined input synthesis (train/inputs.Stage2InputPipeline):
+        # batch N's mask sampling overlaps batch N+1's teacher flows on
+        # the device — the reference pays the full synthesis latency
+        # inline per step (train_stage2.py:1249-1268; SURVEY §3.4)
+        from mofa_tpu.train.inputs import Stage2InputPipeline
+        pipe_in = Stage2InputPipeline(
+            gmflow, gm_params, cmp, cmp_params,
+            (args.sample_size, args.sample_size), inference_size=size,
+            teacher_dtype=jnp.bfloat16 if args.teacher_bf16 else None,
+            rng=rng_np)
+        n_steps = args.num_train_steps - start_step
+        clips = (np.asarray(next(loader)["pixel_values01"], np.float32)
+                 for _ in range(n_steps))
+        box = {"key": key, "state": state, "batch": None}
+
+        def overlap_step(batch):
+            box["key"], sub = jax.random.split(box["key"])
+            box["state"], metrics = step_fn(box["state"], batch, sub,
+                                            frozen_tree)
+            box["batch"] = batch
+            return metrics
+
+        for i, metrics in enumerate(pipe_in.run(clips, overlap_step)):
+            state = box["state"]
+            after_step(start_step + i, metrics,
+                       box["batch"]["pixel_values01"], box["batch"])
+    else:
+        for step_no in range(start_step, args.num_train_steps):
+            px = next(loader)["pixel_values01"]
+            batch = make_batch(px, rng_np)
+            if accum > 1:
+                batch = {k: v.reshape((accum, args.batch_size) + v.shape[1:])
+                         for k, v in batch.items()}
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, batch, sub, frozen_tree)
+            after_step(step_no, metrics, px, batch)
 
     ckpt.close()
     export_adapter(

@@ -87,10 +87,11 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 
 
 def frames_spec(ndim: int, frame_axis: int = 1, batch_axis: int | None = 0) -> P:
-    """[B, T, ...] activation spec: batch over "data", frames over "frames"."""
+    """[B, T, ...] activation spec: batch over the joint ("dcn", "data")
+    DP axes, frames over "frames" (dcn degenerates on single-slice)."""
     spec: list = [None] * ndim
     if batch_axis is not None:
-        spec[batch_axis] = AXES.data
+        spec[batch_axis] = AXES.batch
     spec[frame_axis] = AXES.frames
     return P(*spec)
 

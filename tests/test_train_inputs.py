@@ -137,3 +137,49 @@ def test_stage2_control_flow_synthesis():
                               rng=np.random.RandomState(1))
     assert batch["flows"].shape == (1, 2, 64, 64, 2)
     assert np.all(np.isfinite(np.asarray(batch["flows"])))
+
+
+def test_stage2_input_pipeline_matches_sequential():
+    """Stage2InputPipeline (host-pipelined lookahead) produces the SAME
+    batches/steps as the sequential teacher->mask->CMP path when fed the
+    same clips and rng — the overlap is scheduling, not math."""
+    import jax
+    import jax.numpy as jnp
+    from mofa_tpu.models.cmp.model import CMP, CMPConfig
+    from mofa_tpu.models.gmflow.model import (GMFlow, GMFlowConfig,
+                                              get_optical_flows)
+    from mofa_tpu.train.inputs import (Stage2InputPipeline,
+                                       stage2_control_flow)
+
+    gcfg = GMFlowConfig(num_transformer_layers=1, num_reg_refine=1)
+    gmflow = GMFlow(gcfg)
+    isize = (64, 96)
+    gp = jax.jit(lambda k: gmflow.init(
+        k, jnp.zeros((1,) + isize + (3,)),
+        jnp.zeros((1,) + isize + (3,))))(jax.random.PRNGKey(0))
+    cmp = CMP(CMPConfig())
+    cp = jax.jit(lambda k: cmp.init(
+        k, jnp.zeros((1, 384, 384, 3)), jnp.zeros((1, 384, 384, 2)),
+        jnp.zeros((1, 384, 384, 2))))(jax.random.PRNGKey(1))
+
+    rng = np.random.RandomState(3)
+    clips = [rng.rand(1, 3, 64, 64, 3).astype(np.float32) for _ in range(2)]
+
+    # sequential reference path
+    seq = []
+    rng_seq = np.random.RandomState(7)
+    for px in clips:
+        flows = np.asarray(get_optical_flows(
+            gmflow, gp, jnp.asarray(px), inference_size=isize))
+        dense, _ = stage2_control_flow(cmp, cp, px, flows, (64, 64),
+                                       rng=rng_seq)
+        seq.append(np.asarray(dense))
+
+    pipe = Stage2InputPipeline(gmflow, gp, cmp, cp, (64, 64),
+                               inference_size=isize, pair_chunk=None,
+                               rng=np.random.RandomState(7))
+    got = list(pipe.run(iter(clips),
+                        lambda b: np.asarray(b["flows"])))
+    assert len(got) == 2
+    for a, b in zip(seq, got):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)

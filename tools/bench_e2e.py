@@ -88,7 +88,7 @@ def fence(x):
 
 def run(h, w, t, steps, chunk, dtype, verbose=True, tiny=False,
         cfg_split=True, step_chunk=5, bundle=None, n_time=3,
-        include_cmp=True):
+        include_cmp=True, offload=False):
     from mofa_tpu.pipelines.traj import TrajPipeline
     from mofa_tpu.pipelines.common import (
         encode_clip_image, encode_vae_image, get_add_time_ids,
@@ -164,6 +164,11 @@ def run(h, w, t, steps, chunk, dtype, verbose=True, tiny=False,
     image_embeddings = encode_clip_image(bundle, image01, do_cfg=True)
     image_latents = jnp.repeat(
         encode_vae_image(bundle, image01 * 2 - 1, do_cfg=True)[:, None], t, axis=1)
+    if offload:
+        # phase-scoped residency: VAE/CLIP device buffers freed for the
+        # denoise (decode re-uploads lazily via ModelBundle.ensure_vae) —
+        # the margin that lets the BATCHED CFG2 path (no cfg_split) fit
+        bundle.offload_encoders()
     added_time_ids = get_add_time_ids(6, 128, 0.02, 1, do_cfg=True)
     latents = (jax.random.normal(key, (1, t, h // 8, w // 8, 4), jnp.float32)
                * sched.init_noise_sigma)
@@ -201,7 +206,7 @@ def run(h, w, t, steps, chunk, dtype, verbose=True, tiny=False,
     e2e = cmp_s + enc_clip + enc_vae + den + dec + post
     return {
         "h": h, "w": w, "frames": t, "steps": steps, "cfg_split": cfg_split,
-        "step_chunk": step_chunk,
+        "step_chunk": step_chunk, "offload": offload,
         "decode_chunk": chunk, "dtype": str(jnp.dtype(dtype)),
         "n_time": n_time,
         "cmp_s": round(cmp_s, 3),
@@ -228,14 +233,18 @@ def main():
                     help="steps per device program (0 = single program; the "
                          "axon tunnel kills programs running >~1 min)")
     ap.add_argument("--no_cfg_split", action="store_true",
-                    help="run the 2B CFG batch as one UNet call (needs >16GB "
-                         "HBM at T=25 576x1024; crashes the v5e worker)")
+                    help="run the 2B CFG batch as one UNet call (without "
+                         "--offload it needs >16GB HBM at T=25 576x1024 "
+                         "and crashes the v5e worker)")
+    ap.add_argument("--offload", action="store_true",
+                    help="free VAE/CLIP device buffers during denoise "
+                         "(ModelBundle.offload_encoders)")
     args = ap.parse_args()
     bench_mod._maybe_force_cpu()
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     res = run(args.h, args.w, args.t, args.steps, args.chunk, dtype,
               tiny=args.tiny, cfg_split=not args.no_cfg_split,
-              step_chunk=args.step_chunk)
+              step_chunk=args.step_chunk, offload=args.offload)
     print(json.dumps(res))
 
 
