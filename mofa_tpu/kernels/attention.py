@@ -87,6 +87,7 @@ def temporal_attention_tmajor(q2, k2, v2, num_frames: int, heads: int):
     bt, s, hd = q2.shape
     b = bt // num_frames
     d = hd // heads
+    from mofa_tpu.parallel.activation import is_sharded_execution
     from mofa_tpu.kernels.short_attention import (
         short_attention_applicable, short_attention_tmajor,
         tmajor_vmem_estimate)
@@ -98,12 +99,28 @@ def temporal_attention_tmajor(q2, k2, v2, num_frames: int, heads: int):
         return est <= 14 * 1024 * 1024
 
     if (os.environ.get("MOFA_SHORT_ATTN", "") != "0"
+            and not is_sharded_execution()   # pallas is opaque to GSPMD
             and short_attention_applicable(b * s, num_frames, num_frames,
                                            heads, d)
             and vmem_ok()):
         fixed = os.environ.get("MOFA_FIXED_MAX_SOFTMAX", "") != "0"
         return short_attention_tmajor(q2, k2, v2, num_frames, heads, 0,
                                       fixed)
+
+    if is_sharded_execution():
+        # token-parallel form: keep [B, T, S, H, D] with the token dim
+        # INTACT so an S-sharding (parallel/activation.py policy
+        # "tokens") flows through with ZERO collectives — all T frames
+        # of a token shard are device-local. The classic transpose
+        # fallback below merges (B, S) into dim 0, which a minor-factor-
+        # sharded merge can't express (GSPMD replicates).
+        r = lambda x: x.reshape(b, num_frames, s, heads, d)
+        q5, k5, v5 = r(q2), r(k2), r(v2)
+        logits = jnp.einsum("btshd,bushd->bshtu", q5, k5,
+                            preferred_element_type=jnp.float32) * d ** -0.5
+        p = jax.nn.softmax(logits, axis=-1).astype(q2.dtype)
+        o = jnp.einsum("bshtu,bushd->btshd", p, v5)
+        return o.reshape(bt, s, hd)
 
     def to_tmin(x):            # [B*T, S, HD] -> [B*S, T, H, D]
         x = x.reshape(b, num_frames, s, heads, d)

@@ -112,15 +112,23 @@ class TemporalResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb=None):
-        b, tt, hh, ww, in_ch = x.shape
+        # accepts [B, T, H, W, C] (single-chip path) or the flat
+        # [B, T, HW, C] view (frame-parallel path keeps the token dim
+        # whole so its sharding survives the internal reshapes)
+        if x.ndim == 5:
+            b, tt, hh, ww, in_ch = x.shape
+            s, out5 = hh * ww, True
+        else:
+            b, tt, s, in_ch = x.shape
+            out5 = False
         # norms/silu run on the NATURAL flat [B*T, HW, C] rows with
         # frame-pooled stats (pool_leading) — running them on the
         # [B, T, HW, C] view made XLA relayout the fp32 GN intermediate
         # HW-minor (~0.5 ms x 2 norms per /8 site, device trace
         # 2026-08-20); only TemporalConv3 sees the 4-D view (leading-dim
         # split, layout-free)
-        flat = lambda y: y.reshape(b * tt, hh * ww, y.shape[-1])
-        to4 = lambda y: y.reshape(b, tt, hh * ww, y.shape[-1])
+        flat = lambda y: y.reshape(b * tt, s, y.shape[-1])
+        to4 = lambda y: y.reshape(b, tt, s, y.shape[-1])
         x = flat(x)
         h = GroupNorm(32, self.eps, name="norm1")(x, pool_leading=tt)
         h = nn.silu(h)
@@ -135,7 +143,9 @@ class TemporalResnetBlock(nn.Module):
         x4 = to4(x)
         if in_ch != self.out_channels:
             x4 = PointwiseConv3D(self.out_channels, name="conv_shortcut")(x4)
-        return (x4 + h).reshape(b, tt, hh, ww, self.out_channels)
+        out = x4 + h
+        return (out.reshape(b, tt, hh, ww, self.out_channels) if out5
+                else out)
 
 
 class SpatioTemporalResBlock(nn.Module):
@@ -151,17 +161,36 @@ class SpatioTemporalResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None, image_only_indicator=None):
         # x: [B*T, H, W, C]
+        from mofa_tpu.parallel.activation import (constrain_dim,
+                                                  sharding_policy)
         bsz, t = image_only_indicator.shape
         h = ResnetBlock2D(self.out_channels, self.eps, self.use_temb,
                           name="spatial_res_block")(x, temb)
         bf, hh, ww, cc = h.shape
-        h_bt = h.reshape(bsz, t, hh, ww, cc)
         temb_bt = temb.reshape(bsz, t, -1) if (temb is not None and self.use_temb) else None
-        h_temp = TemporalResnetBlock(
+        temporal = TemporalResnetBlock(
             self.out_channels, self.temporal_eps or self.eps, self.use_temb,
-            name="temporal_res_block")(h_bt, temb_bt)
-        out = AlphaBlender(self.merge_strategy, self.switch_spatial_to_temporal_mix,
-                           name="time_mixer")(h_bt, h_temp, image_only_indicator)
+            name="temporal_res_block")
+        blender = AlphaBlender(self.merge_strategy,
+                               self.switch_spatial_to_temporal_mix,
+                               name="time_mixer")
+        if sharding_policy() == "tokens":
+            # token-parallel: stay on the FLAT [*, HW, C] views so the
+            # token sharding survives every reshape (the token dim is
+            # never split or merged) — the temporal block is then fully
+            # device-local. The 5-D path's [B*T,...]->[B,T,...] split of
+            # a sharded dim 0 is inexpressible to GSPMD and was measured
+            # as a 660 MB all-gather per site at the deploy shape
+            # (PROJECTION_v5e8.json largest_ops).
+            h3 = constrain_dim(h.reshape(bf, hh * ww, cc), 1)
+            h_bt = h3.reshape(bsz, t, hh * ww, cc)
+            h_temp = temporal(h_bt, temb_bt)
+            out = blender(h_bt, h_temp, image_only_indicator)
+            out3 = constrain_dim(out.reshape(bf, hh * ww, cc), 1)
+            return out3.reshape(bf, hh, ww, cc)
+        h_bt = h.reshape(bsz, t, hh, ww, cc)
+        h_temp = temporal(h_bt, temb_bt)
+        out = blender(h_bt, h_temp, image_only_indicator)
         return out.reshape(bf, hh, ww, cc)
 
 

@@ -119,12 +119,16 @@ class TransformerSpatioTemporalModel(nn.Module):
         # needs a per-(batch, spatial token) SINGLE-token context, which
         # exists for S=1 contexts in every quirk mode except the odd-B>1
         # raw-quirk corner (its hw-major flattening interleaves batch).
-        # Off under sharded execution (the frame-parallel all-to-all rides
-        # the classic transposes) — see parallel/activation.py.
+        # Policy coupling (parallel/activation.py): under token-parallel
+        # sharding ("tokens") tmajor is REQUIRED — its layouts keep the
+        # token dim intact so the S-sharding flows collective-free (the
+        # kernel dispatch swaps Pallas for a sharded-safe einsum). Under
+        # "frames" sharding (training) tmajor is off: the frame-parallel
+        # all-to-all rides the classic transposes.
         import os
-        from mofa_tpu.parallel.activation import is_sharded_execution
+        from mofa_tpu.parallel.activation import sharding_policy
         tmajor = (os.environ.get("MOFA_TMAJOR", "") != "0"
-                  and not is_sharded_execution()
+                  and sharding_policy() != "frames"
                   and tc.shape[1] == 1
                   and (bsz == 1 or bsz % 2 == 0
                        or not self.time_context_hw_major_quirk))

@@ -48,3 +48,26 @@ def _clear_jax_caches_between_modules():
     actually shared) is unaffected."""
     yield
     jax.clear_caches()
+
+
+# ---- fast/slow tiers -------------------------------------------------------
+# `pytest -m fast` is the <10-min tier (quick pre-commit signal on the
+# 1-core CPU of this environment); the unmarked remainder is the full
+# ~2 h tier (XLA:CPU compile dominates — see CLAUDE.md). Tier membership
+# is by MODULE, from the measured per-module wall times of the r05 full
+# run (TESTS_r05.txt): every module whose total is under ~45 s is fast.
+FAST_MODULES = {
+    "test_euler", "test_ops_misc", "test_resize", "test_native",
+    "test_panels", "test_checkpoint", "test_flow_datasets",
+    "test_softsplat", "test_flash_attention", "test_short_attention",
+    "test_group_norm_kernel", "test_geglu_ffn", "test_conv_fused",
+    "test_parity_primitives", "test_preprocess", "test_ui_server",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in FAST_MODULES:
+            item.add_marker(_pytest.mark.fast)

@@ -36,12 +36,23 @@ def test_packed_attention_keeps_batch_dim_under_sharding():
 
 def test_constrain_batch_skips_unshardable_dim():
     mesh = make_mesh(data=1, frames=8)
+    # frames policy (training layout): dim 0 carries the axis
     small = jnp.zeros((2, 3, 4))   # dim0 < frame axis: no constraint
     big = jnp.zeros((16, 3, 4))
-    with frame_parallel(mesh):
+    with frame_parallel(mesh, policy="frames"):
         jitted = jax.jit(lambda a, b: (constrain_batch(a), constrain_batch(b)))
         s, b = jitted(small, big)
     assert s.shape == small.shape and b.shape == big.shape
     assert b.sharding.spec[0] == "frames"
     # the small tensor was left to propagation (no explicit frames spec)
     assert not (len(s.sharding.spec) and s.sharding.spec[0] == "frames")
+
+    # tokens policy (deployment default): dim 1 (the token dim) carries it
+    tok_small = jnp.zeros((16, 3, 4))    # dim1 < axis: no constraint
+    tok_big = jnp.zeros((2, 16, 4))
+    with frame_parallel(mesh):
+        jitted2 = jax.jit(lambda a, b: (constrain_batch(a),
+                                        constrain_batch(b)))
+        ts, tb = jitted2(tok_small, tok_big)
+    assert len(tb.sharding.spec) > 1 and tb.sharding.spec[1] == "frames"
+    assert not any(ax == "frames" for ax in ts.sharding.spec)

@@ -65,12 +65,15 @@ DTYPE_BYTES = {
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
-def _result_bytes(line: str) -> int:
-    """Bytes of the op's RESULT shape(s) — `x = dtype[dims]{...} op-name(...)`;
-    tuple results (e.g. variadic all-gather) sum their members."""
-    lhs = line.split("=", 1)[0] + "=" + line.split("=", 1)[1].split("(")[0]
+def _result_bytes(line: str, op_kind: str) -> int:
+    """Bytes of the op's RESULT shape(s): everything between `=` and the
+    `op-kind(` occurrence — handles tuple results (variadic all-gather /
+    all-to-all) whose members each carry a shape."""
+    rhs = line.split("=", 1)[1]
+    cut = rhs.find(op_kind + "(")
+    seg = rhs[:cut] if cut >= 0 else rhs.split("(", 1)[0]
     total = 0
-    for dt, dims in _SHAPE_RE.findall(lhs):
+    for dt, dims in _SHAPE_RE.findall(seg):
         if dt not in DTYPE_BYTES:
             continue
         n = 1
@@ -81,23 +84,35 @@ def _result_bytes(line: str) -> int:
     return total
 
 
-def collective_inventory(hlo_text: str):
-    """{op_kind: {count, result_bytes}} over the optimized HLO."""
+def collective_inventory(hlo_text: str, top_n: int = 0):
+    """{op_kind: {count, result_bytes}} over the optimized HLO; with
+    top_n, also returns the largest individual ops with their op_name
+    metadata (the model-site attribution)."""
     kinds = ("all-gather", "all-to-all", "all-reduce", "collective-permute",
              "reduce-scatter")
     inv = {k: {"count": 0, "result_bytes": 0} for k in kinds}
+    ops = []
     for line in hlo_text.splitlines():
         s = line.strip()
-        m = re.search(r"=\s*\(?[\w\[\],\s{}]*?\)?\s*((?:all-gather|all-to-all|"
+        m = re.search(r"=\s*[^=]*?((?:all-gather|all-to-all|"
                       r"all-reduce|collective-permute|reduce-scatter)"
                       r"(?:-start)?)\(", s)
         if not m:
             continue
-        kind = m.group(1).replace("-start", "")
+        raw = m.group(1)
+        kind = raw.replace("-start", "")
         # -done ops carry no new traffic; -start carries the shape
+        b = _result_bytes(s, raw)
         inv[kind]["count"] += 1
-        inv[kind]["result_bytes"] += _result_bytes(s)
-    return {k: v for k, v in inv.items() if v["count"]}
+        inv[kind]["result_bytes"] += b
+        if top_n:
+            nm = re.search(r'op_name="([^"]+)"', s)
+            ops.append((b, kind, nm.group(1)[-160:] if nm else "?"))
+    inv = {k: v for k, v in inv.items() if v["count"]}
+    if top_n:
+        ops.sort(reverse=True)
+        return inv, ops[:top_n]
+    return inv
 
 
 def build_step(h, w, t, dtype=jnp.bfloat16):
@@ -142,7 +157,16 @@ def build_step(h, w, t, dtype=jnp.bfloat16):
 
     def step(unet_params, cn_params, inject, lat, image_latents,
              image_embeddings, added_time_ids, idx):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mofa_tpu.core.mesh import AXES
         with frame_parallel(mesh):
+            # frame-shard the uneven-dim args via constraints (GSPMD
+            # handles non-divisible shards; in_shardings would reject
+            # T=25 over 8 devices)
+            fr0 = NamedSharding(mesh, P(AXES.frames))
+            inject = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, fr0), inject)
+            image_latents = constrain_frames(image_latents, mesh)
             lat = constrain_frames(lat, mesh)
             sigma, sigma_next, ts = sigmas[idx], sigmas[idx + 1], \
                 timesteps[idx]
@@ -171,7 +195,24 @@ def build_step(h, w, t, dtype=jnp.bfloat16):
         jax.ShapeDtypeStruct((2, 3), dtype),
         jax.ShapeDtypeStruct((), jnp.int32),
     )
-    return jax.jit(step), abstract, mesh
+    # pin the DEPLOYMENT shardings — without explicit in_shardings GSPMD
+    # treats the abstract params as unspecified and invents param
+    # shardings (hundreds of phantom all-gathers that a real frame-
+    # parallel deployment, which replicates weights, never pays)
+    from jax.sharding import NamedSharding
+    from mofa_tpu.core.mesh import AXES
+    from jax.sharding import PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    rep_tree = lambda shapes: jax.tree_util.tree_map(lambda _: rep, shapes)
+    # frame-sharded args (inject/latents, T=25 not divisible by 8) get
+    # their layout via with_sharding_constraint INSIDE step; in_shardings
+    # pins only the replicated trees + scalars
+    in_shardings = (
+        rep_tree(u_shapes), rep_tree(c_shapes),
+        jax.tree_util.tree_map(lambda _: rep, inj_shapes),
+        rep, rep, rep, rep, rep,
+    )
+    return jax.jit(step, in_shardings=in_shardings), abstract, mesh
 
 
 def main():
@@ -181,6 +222,11 @@ def main():
     ap.add_argument("--t", type=int, default=25)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--out", default="PROJECTION_v5e8.json")
+    ap.add_argument("--top_ops", type=int, default=0,
+                    help="print the N largest collective ops with their "
+                         "op_name attribution to stderr")
+    ap.add_argument("--dump_hlo", default=None,
+                    help="write the optimized sharded HLO text here")
     # measured single-chip anchors (BENCH_r04.json e2e leg)
     ap.add_argument("--denoise_s", type=float, default=52.65)
     ap.add_argument("--decode_s", type=float, default=1.86)
@@ -201,9 +247,14 @@ def main():
     print(f"compiled in {time.perf_counter()-t0:.1f}s", file=sys.stderr,
           flush=True)
     hlo = compiled.as_text()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(hlo)
 
-    inv = collective_inventory(hlo)
+    inv, top_ops = collective_inventory(hlo, top_n=args.top_ops or 25)
     total_bytes_per_dev = sum(v["result_bytes"] for v in inv.values())
+    for b, kind, nm in top_ops[:args.top_ops or 0]:
+        print(f"{b/1e6:9.1f} MB {kind:20s} {nm}", file=sys.stderr, flush=True)
     # ring model: each gathered/exchanged byte crosses (n-1)/n of the ring
     n = N_DEV
     ici_s_per_step = total_bytes_per_dev * scale * (n - 1) / n / RING_BW
@@ -221,6 +272,9 @@ def main():
         "byte_scale_applied": scale,
         "collectives_per_step": inv,
         "collective_bytes_per_step_per_device": total_bytes_per_dev,
+        "largest_ops": [
+            {"mb": round(b / 1e6, 1), "kind": kind, "site": nm}
+            for b, kind, nm in top_ops[:12]],
         "ici_model": {
             "per_link_per_dir_Bps": ICI_GBPS_PER_LINK_PER_DIR,
             "ring_bw_Bps": RING_BW,
