@@ -195,8 +195,65 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
         # positional: custom_vjp + nondiff_argnums rejects kwargs
         return flash_attention(q, k, v, bq, bk, fixed)
     if impl == "xla":
+        from mofa_tpu.parallel.activation import is_sharded_execution
+        if is_sharded_execution() and k.shape[1] > 1024:
+            return _chunked_xla_attention(q, k, v)
         return jax.nn.dot_product_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _chunked_xla_attention(q, k, v, bk: int = 1024):
+    """Exact online-softmax attention scanned over K/V chunks — the
+    sharded-execution spatial path (pure XLA, so GSPMD partitions it).
+
+    Two properties the plain einsum+softmax form lacks on a mesh:
+    - logits never materialize at [B, H, Lq, Lk] — at the token-sharded
+      576x1024 deploy shape that would be ~10 GB fp32 PER DEVICE, over a
+      v5e's HBM before params; here the transient is [B, H, Lq_shard, bk]
+    - the gathered K/V stay bf16 (accumulation is fp32 via
+      preferred_element_type), halving the spatial-attention all-gather
+      bytes that dominate the token-parallel ICI bound
+      (PROJECTION_v5e8.json largest_ops).
+    Exact max-subtracted softmax, independent of chunk order.
+    """
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    scale = d ** -0.5
+    nb = -(-lk // bk)
+    pad = nb * bk - lk
+    if pad:
+        kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    else:
+        kp, vp = k, v
+    kc = kp.reshape(b, nb, bk, h, d).transpose(1, 0, 2, 3, 4)
+    vc = vp.reshape(b, nb, bk, h, d).transpose(1, 0, 2, 3, 4)
+    # padded keys masked to -inf via an iota check per chunk
+    base = jnp.arange(nb) * bk
+
+    def body(carry, inp):
+        m, l, acc = carry
+        kb, vb, start = inp
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kb,
+                            preferred_element_type=jnp.float32) * scale
+        valid = (start + jnp.arange(bk)) < lk
+        logits = jnp.where(valid[None, None, None, :], logits, -jnp.inf)
+        m_new = jnp.maximum(m, logits.max(axis=-1))
+        # exp of -inf rows stays 0; correction rescales the accumulator
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        l = l * corr + p.sum(axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bkhd->bhqd", p.astype(q.dtype), vb,
+            preferred_element_type=jnp.float32)
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((b, h, lq), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, lq), jnp.float32)
+    a0 = jnp.zeros((b, h, lq, d), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), (kc, vc, base))
+    out = acc / l[..., None]
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)

@@ -57,11 +57,16 @@ def _clear_jax_caches_between_modules():
 # is by MODULE, from the measured per-module wall times of the r05 full
 # run (TESTS_r05.txt): every module whose total is under ~45 s is fast.
 FAST_MODULES = {
-    "test_euler", "test_ops_misc", "test_resize", "test_native",
-    "test_panels", "test_checkpoint", "test_flow_datasets",
-    "test_softsplat", "test_flash_attention", "test_short_attention",
-    "test_group_norm_kernel", "test_geglu_ffn", "test_conv_fused",
-    "test_parity_primitives", "test_preprocess", "test_ui_server",
+    # per-module wall s from the r05 full run (TESTS_r05.txt); all <=63 s,
+    # tier total ~9 min
+    "test_native", "test_panels", "test_flow_datasets", "test_preprocess",
+    "test_euler", "test_ui_server", "test_face3d_render", "test_checkpoint",
+    "test_sharded_dispatch", "test_resize", "test_ops_misc", "test_mp_face",
+    "test_parity_primitives", "test_geglu_ffn", "test_group_norm_kernel",
+    "test_softsplat", "test_gfpgan", "test_conv_fused",
+    "test_flash_attention", "test_face3d_fit", "test_film",
+    "test_audio_models", "test_sadtalker", "test_face_alignment",
+    "test_short_attention",
 }
 
 

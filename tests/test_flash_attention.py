@@ -122,3 +122,21 @@ def test_packed_short_attention_matches_naive(shape):
     np.testing.assert_allclose(np.asarray(dot_product_attention(q, k, v)),
                                np.asarray(naive(q, k, v)),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("lk,bk", [(2500, 512), (1024, 256), (37, 16)])
+def test_chunked_xla_attention_matches_naive(lk, bk):
+    """The sharded-execution spatial path (kernels/attention.py
+    _chunked_xla_attention): exact online-softmax over K/V chunks incl.
+    the ragged-tail -inf masking — logits never materialize at
+    [B, H, Lq, Lk] and the gathered K/V stay in the input dtype."""
+    from mofa_tpu.kernels.attention import _chunked_xla_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    b, lq, h, d = 2, 48, 3, 16
+    q = jax.random.normal(ks[0], (b, lq, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, lk, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, lk, h, d), jnp.float32)
+    got = np.asarray(_chunked_xla_attention(q, k, v, bk=bk))
+    want = np.asarray(naive(q, k, v))
+    np.testing.assert_allclose(got, want, atol=5e-6, rtol=5e-6)

@@ -181,8 +181,13 @@ def test_frozen_as_args_matches_closure(bundle):
     want_state, want_m = step(state, batch, jax.random.PRNGKey(9))
     got_state, got_m = step(state, batch, jax.random.PRNGKey(9),
                             frozen_params(bundle))
+    # rtol: constant-folded (closure) vs argument-fed programs are both
+    # valid fp reassociations, not bit-equal — XLA folds/fuses baked
+    # constants differently. Measured drift grew to ~1.6e-5 relative in
+    # this image (fails at the r04 commit too, i.e. an XLA-version
+    # numerics shift, not a code regression — r05 full-suite run).
     np.testing.assert_allclose(float(got_m["loss"]), float(want_m["loss"]),
-                               rtol=1e-6)
+                               rtol=1e-4)
     # args vs constants compile to slightly different fusions; near-zero
     # grads can flip an Adam update's sign, so bound params by the
     # update scale (lr=1e-3) rather than exact equality
