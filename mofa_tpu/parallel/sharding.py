@@ -7,7 +7,11 @@ HF Accelerate, /root/reference/Training/train_stage1.py:649). Here the
 
 - "data":   batch DP — gradient psum inserted by XLA at the loss/grad.
 - "model":  Megatron-style tensor parallelism of attention + GEGLU-MLP
-  kernels (column-parallel qkv/up-proj, row-parallel out-proj/down-proj).
+  kernels (column-parallel qkv/up-proj, row-parallel out-proj/down-proj)
+  AND of every resnet conv pair (column-parallel conv1 / row-parallel
+  conv2 with one all-reduce per block; the in-between GroupNorm is
+  shard-local because contiguous channel shards hold whole groups while
+  the model axis divides the 32 groups — see _TP_RULES).
 - "frames": sequence parallelism over the video-frame axis of [B, T, ...]
   activations; only the temporal-attention / temporal-resnet mixing layers
   induce cross-frame collectives (all-to-all over frames ↔ tokens).
@@ -34,6 +38,31 @@ _TP_RULES: tuple[tuple[str, P], ...] = (
     (r"net_0_proj/Dense_0/bias$", P(AXES.model)),
     # row-parallel: shard input features of attention-out and MLP down-proj
     (r"(to_out_0|net_2)/Dense_0/kernel$", P(AXES.model, None)),
+    # --- conv TP (round 5): Megatron pairing inside every resnet block.
+    # conv1 is column-parallel (HWIO Cout shard), conv2 row-parallel
+    # (HWIO Cin shard -> GSPMD inserts ONE all-reduce per block at the
+    # conv2 output). The in-between GroupNorm(32) + SiLU + time-emb add
+    # stay shard-LOCAL: contiguous channel shards hold 32/n whole groups
+    # whenever the model axis n divides 32 (the `fix` divisibility guard
+    # below also requires C % n == 0), and time_emb_proj's output is
+    # column-sharded to match conv1's. Shortcut/conv_in/conv_out/samplers
+    # stay replicated: they have no row-parallel partner, so sharding
+    # them would only trade a replicated GEMM for an all-gather.
+    # Spatial resnets (ResnetBlock2D -> Conv wrapper, HWIO [3,3,Ci,Co]):
+    (r"spatial_res_block/conv1/Conv_0/kernel$",
+     P(None, None, None, AXES.model)),
+    (r"spatial_res_block/conv1/Conv_0/bias$", P(AXES.model)),
+    (r"spatial_res_block/conv2/Conv_0/kernel$",
+     P(None, None, AXES.model, None)),
+    # Temporal resnets (TemporalConv3 GEMM form, kernel [3,1,1,Ci,Co]):
+    (r"temporal_res_block/conv1/kernel$",
+     P(None, None, None, None, AXES.model)),
+    (r"temporal_res_block/conv1/bias$", P(AXES.model)),
+    (r"temporal_res_block/conv2/kernel$",
+     P(None, None, None, AXES.model, None)),
+    # per-block time-emb projection feeds the column-sharded conv1 output
+    (r"res_block/time_emb_proj/Dense_0/kernel$", P(None, AXES.model)),
+    (r"res_block/time_emb_proj/Dense_0/bias$", P(AXES.model)),
 )
 
 
