@@ -46,6 +46,19 @@ def build_parser():
                    help="stage 2: host-pipelined input synthesis — mask "
                         "sampling overlaps the next batch's teacher flows "
                         "(Stage2InputPipeline; accum=1 only)")
+    p.add_argument("--cmp_bf16", action="store_true",
+                   help="stage2: run the CMP completion in bf16 (numerics "
+                        "bound: tests/test_train_inputs.py::"
+                        "test_cmp_bf16_dense_flow_bound)")
+    p.add_argument("--flow_cache", default=None,
+                   help="directory of precomputed teacher flows "
+                        "(train/flow_cache.py); hits skip the GMFlow "
+                        "teacher, misses are computed live and written "
+                        "back. Fill it offline with --precompute_flows.")
+    p.add_argument("--precompute_flows", action="store_true",
+                   help="offline pass: replay the seeded clip schedule, "
+                        "compute every clip's teacher flows into "
+                        "--flow_cache, and exit (no SVD models loaded)")
     p.add_argument("--teacher_bf16", action="store_true",
                    help="run the GMFlow teacher in bf16 (EPE bound: "
                         "tests/test_gmflow_golden.py::test_teacher_bf16_epe_bound)")
@@ -78,6 +91,10 @@ def run(args):
 
     logger = get_logger("train")
     os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.precompute_flows:
+        _precompute_flows(args, logger)
+        return
 
     mesh = None
     if args.mesh_data * args.mesh_model * args.mesh_frames > 1:
@@ -112,20 +129,44 @@ def run(args):
     # samples sparse hints from it before CMP completion)
     from mofa_tpu.train.inputs import make_stage1_batch, make_stage2_batch
     gmflow, gm_params, size = _setup_gmflow(args, logger)
+
+    flow_cache = None
+    if args.flow_cache:
+        from mofa_tpu.train.flow_cache import TeacherFlowCache
+        flow_cache = TeacherFlowCache(args.flow_cache)
+        logger.info(f"teacher flow cache: {args.flow_cache} "
+                    f"({len(flow_cache)} clips)")
+
+    def teacher_flows(px, keys):
+        """Dense teacher flows: cache hits skip the device teacher;
+        misses compute live and backfill the cache."""
+        if flow_cache is not None and keys is not None:
+            klist = [str(k) for k in np.atleast_1d(np.asarray(keys))]
+            hits = [flow_cache.get(k) for k in klist]
+            if all(h is not None for h in hits):
+                return np.stack(hits)
+        flows = np.asarray(make_stage1_batch(
+            gmflow, gm_params, px, inference_size=size)["flows"])
+        if flow_cache is not None and keys is not None:
+            for k, f in zip(klist, flows):
+                flow_cache.put(k, f)
+        return flows
+
     if args.stage == 1:
-        make_batch = lambda px, rng: make_stage1_batch(
-            gmflow, gm_params, px, inference_size=size)
+        def make_batch(px, rng, keys=None):
+            return {"pixel_values01": jnp.asarray(px),
+                    "flows": jnp.asarray(teacher_flows(px, keys))}
         frozen = ()
     else:
         from mofa_tpu.models.cmp.model import CMP
         cmp_params = load_cmp_params(args.cmp_ckpt)
         cmp = CMP()
+        cmp_dt = jnp.bfloat16 if args.cmp_bf16 else None
 
-        def make_batch(px, rng):
-            dense = make_stage1_batch(gmflow, gm_params, px,
-                                      inference_size=size)["flows"]
+        def make_batch(px, rng, keys=None):
+            dense = teacher_flows(px, keys)
             return make_stage2_batch(cmp, cmp_params, np.asarray(px),
-                                     np.asarray(dense), rng=rng)
+                                     dense, rng=rng, cmp_dtype=cmp_dt)
         frozen = STAGE2_FROZEN
 
     tx = make_optimizer(lr=args.learning_rate, frozen_patterns=frozen,
@@ -196,10 +237,18 @@ def run(args):
             gmflow, gm_params, cmp, cmp_params,
             (args.sample_size, args.sample_size), inference_size=size,
             teacher_dtype=jnp.bfloat16 if args.teacher_bf16 else None,
-            rng=rng_np)
+            cmp_dtype=cmp_dt, flow_cache=flow_cache, rng=rng_np)
         n_steps = args.num_train_steps - start_step
-        clips = (np.asarray(next(loader)["pixel_values01"], np.float32)
-                 for _ in range(n_steps))
+
+        def _clip_stream():
+            for _ in range(n_steps):
+                b = next(loader)
+                px = np.asarray(b["pixel_values01"], np.float32)
+                if flow_cache is not None and "clip_key" in b:
+                    yield (np.asarray(b["clip_key"]), px)
+                else:
+                    yield px
+        clips = _clip_stream()
         box = {"key": key, "state": state, "batch": None}
 
         def overlap_step(batch):
@@ -215,8 +264,9 @@ def run(args):
                        box["batch"]["pixel_values01"], box["batch"])
     else:
         for step_no in range(start_step, args.num_train_steps):
-            px = next(loader)["pixel_values01"]
-            batch = make_batch(px, rng_np)
+            b = next(loader)
+            px = b["pixel_values01"]
+            batch = make_batch(px, rng_np, b.get("clip_key"))
             if accum > 1:
                 batch = {k: v.reshape((accum, args.batch_size) + v.shape[1:])
                          for k, v in batch.items()}
@@ -229,6 +279,56 @@ def run(args):
         state.ema_params if state.ema_params is not None else state.params,
         os.path.join(args.output_dir, "adapter_final.npz"))
     logger.info(f"done; adapter at {args.output_dir}/adapter_final.npz")
+
+
+def _precompute_flows(args, logger):
+    """Offline teacher pass (the 'precompute flows offline' answer to the
+    reference's inline per-step synthesis, SURVEY §3.4 /
+    train_stage2.py:1249-1268): replay the SEEDED clip schedule that
+    training with identical dataset args would draw, compute each clip's
+    GMFlow flows once, and store them in --flow_cache. A subsequent
+    training run with the same seed then hits the cache on every step —
+    the measured 3-6 s/step of device teacher time drops to an npz read.
+    No SVD models are loaded; only GMFlow runs."""
+    from mofa_tpu.train.data import WebVidDataset
+    from mofa_tpu.train.flow_cache import TeacherFlowCache
+    from mofa_tpu.train.inputs import make_stage1_batch
+
+    assert args.flow_cache, "--precompute_flows requires --flow_cache DIR"
+    cache = TeacherFlowCache(args.flow_cache)
+    gmflow, gm_params, size = _setup_gmflow(args, logger)
+    if args.teacher_bf16:
+        gm_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, gm_params)
+
+    ds = WebVidDataset(args.csv_path, args.video_folder,
+                       sample_size=args.sample_size,
+                       sample_stride=args.sample_stride,
+                       sample_n_frames=args.sample_n_frames, seed=args.seed)
+    eff_batch = args.batch_size * max(1, args.gradient_accumulation_steps)
+    loader = ds.batches(eff_batch)
+    t0, done = time.time(), 0
+    for step in range(args.num_train_steps):
+        b = next(loader)
+        keys = [str(k) for k in np.atleast_1d(b["clip_key"])]
+        if all(cache.get(k) is not None for k in keys):
+            continue
+        px = jnp.asarray(np.asarray(b["pixel_values01"], np.float32))
+        if args.teacher_bf16:   # mirror Stage2InputPipeline._teacher
+            px = px.astype(jnp.bfloat16)
+        flows = np.asarray(make_stage1_batch(
+            gmflow, gm_params, px, inference_size=size)["flows"],
+            dtype=np.float32)
+        for k, f in zip(keys, flows):
+            cache.put(k, f)
+        done += len(keys)
+        if (step + 1) % args.log_every == 0:
+            logger.info(f"precompute {step + 1}/{args.num_train_steps} "
+                        f"batches, {done} clips written "
+                        f"({(time.time() - t0) / (step + 1):.2f}s/batch)")
+    logger.info(f"precompute done: {done} clips written, "
+                f"{len(cache)} total in {args.flow_cache}")
 
 
 def _setup_gmflow(args, logger):

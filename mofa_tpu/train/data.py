@@ -77,7 +77,7 @@ class WebVidDataset:
         return os.path.join(self.video_folder, row.get("page_dir", ""),
                             f"{row['videoid']}.mp4")
 
-    def _get_clip(self, index: int) -> np.ndarray:
+    def _get_clip(self, index: int):
         row = self.rows[index]
         path = self._video_path(row)
         total = video_length(path)
@@ -85,15 +85,21 @@ class WebVidDataset:
         if total < span:
             raise IOError(f"{path}: {total} < {span} frames")
         start = self.rng.randint(0, total - span + 1)
-        return read_video_clip(path, start, self.sample_n_frames,
+        clip = read_video_clip(path, start, self.sample_n_frames,
                                self.sample_stride,
                                (self.sample_size, self.sample_size))
+        from mofa_tpu.train.flow_cache import clip_key
+        return clip, clip_key(row["videoid"], start, self.sample_stride,
+                              self.sample_n_frames, self.sample_size)
 
     def __getitem__(self, index: int) -> dict:
         while True:  # infinite retry-on-failure, like the reference
             try:
-                clip = self._get_clip(index)
-                return {"pixel_values01": clip}
+                clip, key = self._get_clip(index)
+                # clip_key names the (video, start) draw — the seeded rng
+                # makes the draw sequence replayable, which is what lets
+                # --precompute_flows / --flow_cache pre-stage the teacher
+                return {"pixel_values01": clip, "clip_key": key}
             except Exception:
                 index = self.rng.randint(0, len(self.rows))
 
@@ -126,8 +132,9 @@ class DevicePrefetcher:
         for batch in self.iterator:
             if self._stop.is_set():
                 return
-            arrs = {k: self._jax.device_put(v, self.sharding)
-                    for k, v in batch.items()}
+            arrs = {k: (v if np.asarray(v).dtype.kind in "US"
+                        else self._jax.device_put(v, self.sharding))
+                    for k, v in batch.items()}  # string keys stay on host
             self.q.put(arrs)
         self.q.put(None)
 

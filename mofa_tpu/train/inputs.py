@@ -39,28 +39,45 @@ def scale_flow_to(flow: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return rescale_flow(flow, height, width)
 
 
-@functools.partial(jax.jit, static_argnames=("cmp", "train_size"))
-def _stage2_cmp_jit(cmp, cmp_params, px, sparse, mask, *, train_size):
+@functools.partial(jax.jit,
+                   static_argnames=("cmp", "train_size", "compute_dtype"))
+def _stage2_cmp_jit(cmp, cmp_params, px, sparse, mask, *, train_size,
+                    compute_dtype=None):
     """Device half of get_cmp_flow as one program: resize to the 384^2 CMP
     canvas (component-scaled flow), complete with CMP, rescale to the
     train size. Module-level jit so the compiled program is cached across
-    steps (cmp hashes by config)."""
+    steps (cmp hashes by config).
+
+    compute_dtype=jnp.bfloat16 runs the CMP completion itself in bf16
+    (params + activations cast inside the program; resizes/rescales stay
+    fp32, output returned fp32). Numerics bound vs fp32 is asserted in
+    tests/test_train_inputs.py::test_cmp_bf16_dense_flow_bound — the
+    dense flow is a *training control signal* that the adapter sees only
+    through its own bf16 cond embedding, so half-precision completion is
+    within the train path's own rounding."""
     b, tm1 = sparse.shape[:2]
     h, w = sparse.shape[2:4]
     if (h, w) != (384, 384):
         px = resize_nhwc(px, (384, 384), method="nearest")
         sparse = rescale_flow(sparse, 384, 384)
         mask = resize_nhwc(mask, (384, 384), method="nearest")
+    if compute_dtype is not None:
+        cmp_params = jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, cmp_params)
+        px = px.astype(compute_dtype)
+        sparse = sparse.astype(compute_dtype)
+        mask = mask.astype(compute_dtype)
     flat = lambda x: x.reshape((b * tm1,) + x.shape[2:])
     dense = cmp.apply(cmp_params, cmp_preprocess(flat(px)), flat(sparse),
                       flat(mask))
-    dense = dense.reshape((b, tm1) + dense.shape[1:])
+    dense = dense.reshape((b, tm1) + dense.shape[1:]).astype(jnp.float32)
     return rescale_flow(dense, *train_size)
 
 
 def stage2_control_flow(cmp, cmp_params, pixel_values01: np.ndarray,
                         flows: np.ndarray, train_size: tuple[int, int],
-                        rng=None):
+                        rng=None, cmp_dtype=None):
     """pixel_values01 [b,t,h,w,3] (0,1); flows [b,t-1,h,w,2] dense teacher
     flow at (h,w). Returns (controlnet_flow [b,t-1,H,W,2] jnp at train_size,
     mask [b,t-1,h,w,2] np)."""
@@ -70,7 +87,8 @@ def stage2_control_flow(cmp, cmp_params, pixel_values01: np.ndarray,
     dense = _stage2_cmp_jit(cmp, cmp_params,
                             jnp.asarray(pixel_values01[:, :tm1]),
                             jnp.asarray(sparse), jnp.asarray(mask),
-                            train_size=tuple(train_size))
+                            train_size=tuple(train_size),
+                            compute_dtype=cmp_dtype)
     return dense, mask
 
 
@@ -95,7 +113,8 @@ class Stage2InputPipeline:
 
     def __init__(self, gmflow, gmflow_params, cmp, cmp_params,
                  train_size, inference_size=(384, 512),
-                 pair_chunk: int | None = 8, teacher_dtype=None, rng=None):
+                 pair_chunk: int | None = 8, teacher_dtype=None, rng=None,
+                 cmp_dtype=None, flow_cache=None):
         from mofa_tpu.models.gmflow.model import get_optical_flows
         self._get_flows = get_optical_flows
         self.gmflow, self.cmp = gmflow, cmp
@@ -104,6 +123,11 @@ class Stage2InputPipeline:
         self.inference_size = inference_size
         self.pair_chunk = pair_chunk
         self.rng = rng
+        self.cmp_dtype = cmp_dtype
+        # TeacherFlowCache (train/flow_cache.py): clips that arrive as
+        # (key, px) pairs consult it; hits skip the device teacher
+        # entirely, misses are computed live and written back
+        self.flow_cache = flow_cache
         if teacher_dtype is not None:
             gmflow_params = jax.tree_util.tree_map(
                 lambda x: x.astype(teacher_dtype)
@@ -123,47 +147,62 @@ class Stage2InputPipeline:
                             pair_chunk=self.pair_chunk)
         return f.astype(jnp.float32)
 
+    def _start(self, item):
+        """(keys, px) or bare px -> (keys, px_np, teacher_handle, cached).
+        Cache hits never touch the device; misses dispatch the teacher."""
+        keys, px_np = item if isinstance(item, tuple) else (None, item)
+        cached = None
+        if self.flow_cache is not None and keys is not None:
+            hits = [self.flow_cache.get(str(k)) for k in np.atleast_1d(keys)]
+            if all(h is not None for h in hits):
+                cached = np.stack(hits)
+        fl = None if cached is not None else self._teacher(jnp.asarray(px_np))
+        return keys, px_np, fl, cached
+
     def run(self, clips, step_fn):
-        """clips: iterable of [b, t, h, w, 3] float01 numpy arrays.
+        """clips: iterable of [b, t, h, w, 3] float01 numpy arrays, or of
+        (clip_keys, array) pairs when a flow_cache is attached.
         step_fn(batch_dict) is the caller's train step (it should fence —
         e.g. fetch the loss). Yields step_fn's result per batch."""
         it = iter(clips)
         try:
-            px_np = next(it)
+            cur = self._start(next(it))
         except StopIteration:
             return
-        px_dev = jnp.asarray(px_np)
-        flows_dev = self._teacher(px_dev)         # dispatch teacher(0)
         while True:
+            keys, cur_px_np, flows_dev, cached = cur
+            if cached is not None:
+                flows_np = cached
+            else:
+                try:
+                    flows_dev.copy_to_host_async()
+                except AttributeError:  # older jax Array types
+                    pass
+                flows_np = np.asarray(flows_dev)  # waits on teacher(i)
+                if self.flow_cache is not None and keys is not None:
+                    for k, f in zip(np.atleast_1d(keys), flows_np):
+                        self.flow_cache.put(str(k), f)
             try:
-                flows_dev.copy_to_host_async()
-            except AttributeError:  # older jax Array types
-                pass
-            flows_np = np.asarray(flows_dev)      # waits on teacher(i)
-            cur_px_np, cur_px_dev = px_np, px_dev
-            try:
-                px_np = next(it)
+                nxt = self._start(next(it))       # device: teacher(i+1)
             except StopIteration:
-                px_np = None
-            if px_np is not None:
-                px_dev = jnp.asarray(px_np)
-                flows_dev = self._teacher(px_dev)  # device: teacher(i+1)
+                nxt = None
             # host mask sampling overlaps teacher(i+1) on the device
             dense, _ = stage2_control_flow(
                 self.cmp, self.cmp_params, cur_px_np, flows_np,
-                self.train_size, rng=self.rng)
+                self.train_size, rng=self.rng, cmp_dtype=self.cmp_dtype)
             yield step_fn({"pixel_values01": jnp.asarray(cur_px_np),
                            "flows": dense})
-            if px_np is None:
+            if nxt is None:
                 return
+            cur = nxt
 
 
 def make_stage2_batch(cmp, cmp_params, pixel_values01: np.ndarray,
-                      flows: np.ndarray, rng=None) -> dict:
+                      flows: np.ndarray, rng=None, cmp_dtype=None) -> dict:
     """Assemble the EDM train-step batch dict for stage 2."""
     h, w = pixel_values01.shape[2:4]
     dense, _ = stage2_control_flow(cmp, cmp_params, pixel_values01, flows,
-                                   (h, w), rng=rng)
+                                   (h, w), rng=rng, cmp_dtype=cmp_dtype)
     return {"pixel_values01": jnp.asarray(pixel_values01), "flows": dense}
 
 

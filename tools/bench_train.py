@@ -135,6 +135,8 @@ def run_stage2(args):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, gp)
         if args.teacher_bf16 else gp)
 
+    cmp_dtype = jnp.bfloat16 if args.cmp_bf16 else None
+
     if args.overlap:
         # host-pipelined mode (Stage2InputPipeline): mask(i) on host
         # overlaps teacher(i+1) on device; wall time per yielded step is
@@ -142,7 +144,7 @@ def run_stage2(args):
         pipe = Stage2InputPipeline(
             gmflow, gp, cmp, cmp_params, (hw, hw),
             pair_chunk=args.teacher_chunk, teacher_dtype=teacher_dtype,
-            rng=rng)
+            cmp_dtype=cmp_dtype, rng=rng)
         stt = {"state": state}
 
         def step_fn(batch):
@@ -153,7 +155,25 @@ def run_stage2(args):
             return float(metrics["loss"])
 
         n = args.iters + 2
-        clips = (px_np for _ in range(n))
+        if args.cached_teacher:
+            # steady state of `--flow_cache` training after a
+            # `--precompute_flows` pass: every clip is a cache HIT, so
+            # the device teacher never runs — per-step work is
+            # mask(host) + CMP + train step only
+            import tempfile
+            from mofa_tpu.train.flow_cache import TeacherFlowCache
+            cache = TeacherFlowCache(tempfile.mkdtemp(prefix="flowcache_"))
+            keys = np.asarray([f"bench:{i}" for i in range(b)])
+            t0 = time.perf_counter()
+            flows0 = np.asarray(pipe._teacher(jnp.asarray(px_np)))
+            for k, f in zip(keys, flows0):
+                cache.put(str(k), f)
+            print(f"cache prefill (the offline pass) "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+            pipe.flow_cache = cache
+            clips = ((keys, px_np) for _ in range(n))
+        else:
+            clips = (px_np for _ in range(n))
         walls, tprev = [], time.perf_counter()
         for i, loss in enumerate(pipe.run(clips, step_fn)):
             now = time.perf_counter()
@@ -161,10 +181,16 @@ def run_stage2(args):
             tprev = now
             print(f"stage2 overlap iter {i}: wall {walls[-1]:.2f}s "
                   f"(loss {loss:.4f})", flush=True)
-        steady = statistics.median(walls[2:]) if len(walls) > 2 else walls[-1]
+        # exclude compile+warmup (first 2) AND the final drain iteration
+        # (it has no teacher(i+1) to issue, so its wall underestimates
+        # steady state — observed 3.1 vs 8.5 s on-chip 2026-08-21)
+        steady_w = walls[2:-1] if len(walls) > 3 else walls[-1:]
+        steady = statistics.median(steady_w)
         print(json.dumps({
             "metric": "stage2_seconds_per_step",
             "mode": "overlap", "teacher_bf16": bool(args.teacher_bf16),
+            "cmp_bf16": bool(args.cmp_bf16),
+            "cached_teacher": bool(args.cached_teacher),
             "train_size": hw, "frames": t, "cmp_size": 384,
             "total_s": round(steady, 3),
             "walls": [round(x, 3) for x in walls]}), flush=True)
@@ -186,7 +212,8 @@ def run_stage2(args):
         dense = _stage2_cmp_jit(cmp, cmp_params,
                                 jnp.asarray(px_np[:, :t - 1]),
                                 jnp.asarray(flows_np * mask),
-                                jnp.asarray(mask), train_size=(hw, hw))
+                                jnp.asarray(mask), train_size=(hw, hw),
+                                compute_dtype=cmp_dtype)
         dense = dense.astype(dtype)
         float(jnp.sum(dense.astype(jnp.float32)))
         cmp_s = time.perf_counter() - tt
@@ -221,6 +248,7 @@ def run_stage2(args):
     print(json.dumps({
         "metric": "stage2_seconds_per_step",
         "mode": "sequential", "teacher_bf16": bool(args.teacher_bf16),
+        "cmp_bf16": bool(args.cmp_bf16),
         "train_size": hw, "frames": t, "cmp_size": 384,
         "teacher_s": round(med[0], 3), "mask_s": round(med[1], 3),
         "cmp_s": round(med[2], 3), "step_s": round(med[3], 3),
@@ -245,6 +273,12 @@ def main():
     ap.add_argument("--teacher_bf16", action="store_true",
                     help="run the GMFlow teacher in bf16 (A/B vs fp32; "
                          "EPE bound in tests/test_gmflow_golden.py)")
+    ap.add_argument("--cmp_bf16", action="store_true",
+                    help="run the CMP completion in bf16 (bound in "
+                         "tests/test_train_inputs.py)")
+    ap.add_argument("--cached_teacher", action="store_true",
+                    help="with --overlap: steady state of --flow_cache "
+                         "training (all cache hits; no device teacher)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke of the --stage2 flow at micro configs")
     ap.add_argument("--teacher_chunk", type=int, default=8,

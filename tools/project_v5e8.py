@@ -65,10 +65,21 @@ DTYPE_BYTES = {
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
-def _result_bytes(line: str, op_kind: str) -> int:
+def _result_bytes(line: str, op_kind: str, clamp_f32: bool = False) -> int:
     """Bytes of the op's RESULT shape(s): everything between `=` and the
     `op-kind(` occurrence — handles tuple results (variadic all-gather /
-    all-to-all) whose members each carry a shape."""
+    all-to-all) whose members each carry a shape.
+
+    clamp_f32: count f32 elements at 2 bytes. XLA:CPU computes bf16 dots
+    through f32 carriers (the optimized HLO shows explicit
+    f32->bf16->f32 convert round-trips feeding these collectives, e.g.
+    %fused_computation around the spatial-attention K/V all-gathers), so
+    the CPU-lowered inventory moves f32 where the bf16 TPU deployment
+    (bench.py/pipelines cast params+activations to bf16; MXU consumes
+    bf16 natively) moves bf16. Applied to the activation-movement kinds
+    (all-gather / all-to-all / collective-permute) only — all-reduce
+    traffic (GroupNorm/LayerNorm statistics, CFG sums) is genuinely fp32
+    by design and is counted at full width."""
     rhs = line.split("=", 1)[1]
     cut = rhs.find(op_kind + "(")
     seg = rhs[:cut] if cut >= 0 else rhs.split("(", 1)[0]
@@ -80,7 +91,10 @@ def _result_bytes(line: str, op_kind: str) -> int:
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * DTYPE_BYTES[dt]
+        nbytes = DTYPE_BYTES[dt]
+        if clamp_f32 and dt == "f32":
+            nbytes = 2
+        total += n * nbytes
     return total
 
 
@@ -102,7 +116,7 @@ def collective_inventory(hlo_text: str, top_n: int = 0):
         raw = m.group(1)
         kind = raw.replace("-start", "")
         # -done ops carry no new traffic; -start carries the shape
-        b = _result_bytes(s, raw)
+        b = _result_bytes(s, raw, clamp_f32=(kind != "all-reduce"))
         inv[kind]["count"] += 1
         inv[kind]["result_bytes"] += b
         if top_n:
@@ -146,6 +160,15 @@ def build_step(h, w, t, dtype=jnp.bfloat16):
     u_shapes = jax.eval_shape(unet.init, key, sample, 1.0, ehs_z, ids_z)
     c_shapes = jax.eval_shape(cn.init, key, sample, 1.0, ehs_z, ids_z,
                               cond_z, flow_z)
+    # deployment runs bf16 params (ModelBundle casts on TPU); leaving the
+    # eval_shape trees at their fp32 init dtype promoted EVERY activation
+    # to f32 in the lowered program and exactly doubled all modeled
+    # collective bytes (caught 2026-08-21: the 589.8 MB spatial-attn K/V
+    # all-gathers were f32[50,9216,320] — 2x the bf16 deployment's)
+    cast_shapes = lambda tree: jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, dtype)
+        if jnp.issubdtype(s.dtype, jnp.floating) else s, tree)
+    u_shapes, c_shapes = cast_shapes(u_shapes), cast_shapes(c_shapes)
     inj_shapes = jax.eval_shape(
         lambda p, c, f: cn.apply(p, c, f,
                                  method=FlowControlNet.encode_features),
@@ -270,6 +293,12 @@ def main():
         "mesh": {"data": 1, "frames": n},
         "shape_lowered": {"h": h, "w": w, "t": args.t},
         "byte_scale_applied": scale,
+        "f32_gather_bytes_counted_as_bf16": (
+            "XLA:CPU lowers bf16 dots through f32 carriers (explicit "
+            "f32->bf16->f32 converts feed the spatial-attn K/V "
+            "all-gathers); the bf16 TPU deployment moves bf16, so "
+            "all-gather/all-to-all/permute f32 elements count 2 bytes. "
+            "all-reduce (fp32-by-design norm stats) counts full width."),
         "collectives_per_step": inv,
         "collective_bytes_per_step_per_device": total_bytes_per_dev,
         "largest_ops": [
