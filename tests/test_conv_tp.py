@@ -28,8 +28,6 @@ from mofa_tpu.models.svd_unet import (MICRO_UNET_CONFIG,
                                       UNetSpatioTemporalConditionModel)
 from mofa_tpu.parallel.sharding import param_sharding_tree, shard_params
 
-pytestmark = pytest.mark.fast
-
 
 @pytest.fixture(scope="module")
 def unet_and_params():
