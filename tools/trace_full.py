@@ -32,6 +32,14 @@ def main():
     ap.add_argument("--top", type=int, default=50)
     ap.add_argument("--logdir", default="/tmp/mofa_trace_full")
     ap.add_argument("--parse_only", action="store_true")
+    ap.add_argument("--t", type=int, default=T,
+                    help="frame count (default 7: the historical proxy "
+                         "shape; 25 = the deployment point)")
+    ap.add_argument("--cfg_split", action="store_true",
+                    help="run the step as two sequential B=1 halves via "
+                         "lax.map, exactly like pipelines/traj.py's "
+                         "cfg_split deploy path (required to fit T=25 on "
+                         "one 16 GB chip)")
     args = ap.parse_args()
     if args.parse_only:
         parse_xplane(args.logdir, args.top)
@@ -45,7 +53,7 @@ def main():
 
     cfg = SVDUNetConfig()
     dtype = jnp.bfloat16
-    h, w, t = H, W, T
+    h, w, t = H, W, args.t
     unet = UNetSpatioTemporalConditionModel(cfg)
     cn = FlowControlNet(cfg)
 
@@ -83,26 +91,53 @@ def main():
     guidance = jnp.linspace(1.0, 3.0, t, dtype=jnp.float32)[None, :, None,
                                                             None, None]
 
+    # cfg_split hoists features for B=1 only (both CFG halves see the
+    # same cond image/flow — pipelines/traj.py:270-276)
+    cond_h = cond_image[:1] if args.cfg_split else cond_image
+    flow_h = flow_cfg[:1] if args.cfg_split else flow_cfg
     inject = jax.jit(lambda p: cn.apply(
-        p, cond_image, flow_cfg, method=FlowControlNet.encode_features))(
+        p, cond_h, flow_h, method=FlowControlNet.encode_features))(
         cn_params)
     jax.block_until_ready(inject)
     print("features hoisted", flush=True)
 
+    if args.cfg_split:
+        il2 = image_latents.reshape((2, 1) + image_latents.shape[1:])
+        ehs2 = image_embeddings.reshape((2, 1) + image_embeddings.shape[1:])
+        ids2 = added_time_ids.reshape((2, 1) + added_time_ids.shape[1:])
+
     @jax.jit
     def one_step(unet_params, cn_params, inject, lat):
         sigma, sigma_next, ts = sigmas[5], sigmas[6], timesteps[5]
-        latent_in = jnp.concatenate([lat] * 2, axis=0)
-        latent_in = scale_model_input(latent_in, sigma).astype(dtype)
-        latent_in = jnp.concatenate([latent_in, image_latents], axis=-1)
-        down_res, mid_res = cn.apply(
-            cn_params, latent_in, ts, image_embeddings, added_time_ids,
-            precomputed_features=inject)
-        noise_pred = unet.apply(
-            unet_params, latent_in, ts, image_embeddings, added_time_ids,
-            down_block_additional_residuals=down_res,
-            mid_block_additional_residual=mid_res)
-        uncond, cond_p = jnp.split(noise_pred.astype(jnp.float32), 2, axis=0)
+
+        def model_call(latent_in, ehs_i, ids_i):
+            down_res, mid_res = cn.apply(
+                cn_params, latent_in, ts, ehs_i, ids_i,
+                precomputed_features=inject)
+            return unet.apply(
+                unet_params, latent_in, ts, ehs_i, ids_i,
+                down_block_additional_residuals=down_res,
+                mid_block_additional_residual=mid_res)
+
+        if args.cfg_split:
+            # sequential B=1 halves through ONE compiled body, exactly
+            # like _make_step_fn's lax.map in pipelines/traj.py
+            scaled = scale_model_input(lat, sigma).astype(dtype)
+            preds = jax.lax.map(
+                lambda side: model_call(
+                    jnp.concatenate([scaled, side[0]], axis=-1),
+                    side[1], side[2]),
+                (il2, ehs2, ids2))
+            uncond = preds[0].astype(jnp.float32)
+            cond_p = preds[1].astype(jnp.float32)
+        else:
+            latent_in = jnp.concatenate([lat] * 2, axis=0)
+            latent_in = scale_model_input(latent_in, sigma).astype(dtype)
+            latent_in = jnp.concatenate([latent_in, image_latents], axis=-1)
+            noise_pred = model_call(latent_in, image_embeddings,
+                                    added_time_ids)
+            uncond, cond_p = jnp.split(noise_pred.astype(jnp.float32), 2,
+                                       axis=0)
         noise_pred = uncond + guidance * (cond_p - uncond)
         new_lat, _ = euler_step(noise_pred, lat.astype(jnp.float32),
                                 sigma, sigma_next)
