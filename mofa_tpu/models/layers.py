@@ -72,8 +72,25 @@ class GroupNorm(nn.Module):
         # Instead reduce over the spatial axes to per-channel partials
         # [N, C] and combine channels into groups on that tiny tensor.
         axes = tuple(range(1, xf.ndim - 1))
-        s1 = jnp.sum(xf, axis=axes)                       # [N, C]
-        s2 = jnp.sum(jnp.square(xf), axis=axes)
+        import os
+        if os.environ.get("MOFA_GN_ONEPASS", "") == "1":
+            # MEASURED NEGATIVE, kept opt-in for the record (2026-08-21):
+            # the T=25 cfg_split trace showed the stats as 449 separate
+            # convert+reduce fusions/step (467 ms = 22%), suggesting the
+            # two jnp.sum calls were two full-activation HBM passes. A
+            # single variadic lax.reduce over (x, x^2) was tried and is
+            # WORSE on-chip: denoise 52.64 -> 53.62 s (+1.9%) and the
+            # chunked VAE decode program RESOURCE_EXHAUSTs (the variadic
+            # reduce raises XLA:TPU's temp requirement and blocks the
+            # fusions the independent reduces get). The two-reduce form
+            # below stays the default.
+            s1, s2 = jax.lax.reduce(
+                (xf, jnp.square(xf)),
+                (jnp.float32(0), jnp.float32(0)),
+                lambda a, v: (a[0] + v[0], a[1] + v[1]), axes)  # [N, C] x2
+        else:
+            s1 = jnp.sum(xf, axis=axes)                   # [N, C]
+            s2 = jnp.sum(jnp.square(xf), axis=axes)
         k = pool_leading
         if k > 1:
             # pool the per-row partials over each K-row block (tiny
@@ -157,10 +174,20 @@ class LayerNorm(nn.Module):
         dt = x.dtype
         xf = x.astype(jnp.float32)
         # E[x^2] - mean^2 so both reduces read x independently and XLA
-        # fuses them into a single pass (jnp.var needs the mean first,
-        # serializing two passes over the activation)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        meansq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        # fuses them (jnp.var needs the mean first, serializing two
+        # passes). A variadic one-pass lax.reduce variant is a MEASURED
+        # NEGATIVE (see GroupNorm above) — opt-in via MOFA_GN_ONEPASS=1.
+        import os
+        if os.environ.get("MOFA_GN_ONEPASS", "") == "1":
+            s1, s2 = jax.lax.reduce(
+                (xf, jnp.square(xf)),
+                (jnp.float32(0), jnp.float32(0)),
+                lambda a, v: (a[0] + v[0], a[1] + v[1]), (xf.ndim - 1,))
+            mean = s1[..., None] / c
+            meansq = s2[..., None] / c
+        else:
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            meansq = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
         var = jnp.maximum(meansq - jnp.square(mean), 0.0)
         xf = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         return (xf * scale + bias).astype(dt)
