@@ -137,19 +137,34 @@ def run(args):
         logger.info(f"teacher flow cache: {args.flow_cache} "
                     f"({len(flow_cache)} clips)")
 
+    # live-teacher precision mirrors Stage2InputPipeline._teacher /
+    # _precompute_flows so cache contents and the --teacher_bf16 flag
+    # mean the same thing on every path
+    gm_params_run = gm_params
+    if args.teacher_bf16:
+        gm_params_run = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, gm_params)
+
     def teacher_flows(px, keys):
         """Dense teacher flows: cache hits skip the device teacher;
-        misses compute live and backfill the cache."""
+        misses compute live (pair-chunked — the unchunked 24-pair
+        correlation volume OOMs a 16 GB chip with the SVD bundle
+        resident) and backfill the cache. Without a cache the flows stay
+        ON DEVICE — no host round trip."""
         if flow_cache is not None and keys is not None:
-            klist = [str(k) for k in np.atleast_1d(np.asarray(keys))]
-            hits = [flow_cache.get(k) for k in klist]
-            if all(h is not None for h in hits):
-                return np.stack(hits)
-        flows = np.asarray(make_stage1_batch(
-            gmflow, gm_params, px, inference_size=size)["flows"])
+            hit = flow_cache.get_batch(keys)
+            if hit is not None:
+                return hit
+        px_t = jnp.asarray(px)
+        if args.teacher_bf16:
+            px_t = px_t.astype(jnp.bfloat16)
+        flows = make_stage1_batch(
+            gmflow, gm_params_run, px_t, inference_size=size,
+            pair_chunk=8)["flows"].astype(jnp.float32)
         if flow_cache is not None and keys is not None:
-            for k, f in zip(klist, flows):
-                flow_cache.put(k, f)
+            flows = np.asarray(flows)
+            flow_cache.put_batch(keys, flows)
         return flows
 
     if args.stage == 1:
@@ -164,7 +179,9 @@ def run(args):
         cmp_dt = jnp.bfloat16 if args.cmp_bf16 else None
 
         def make_batch(px, rng, keys=None):
-            dense = teacher_flows(px, keys)
+            # stage 2 samples host scipy masks from the flows, so they
+            # come to host here regardless of the cache path
+            dense = np.asarray(teacher_flows(px, keys))
             return make_stage2_batch(cmp, cmp_params, np.asarray(px),
                                      dense, rng=rng, cmp_dtype=cmp_dt)
         frozen = STAGE2_FROZEN

@@ -58,5 +58,17 @@ class TeacherFlowCache:
                                 flows=np.asarray(flows, np.float16))
         os.replace(tmp, self._path(key))   # atomic vs concurrent readers
 
+    def get_batch(self, keys) -> np.ndarray | None:
+        """Stacked flows [b, t-1, h, w, 2] if EVERY key hits, else None.
+        Accepts any array/sequence of keys (normalized via str())."""
+        hits = [self.get(str(k)) for k in np.atleast_1d(np.asarray(keys))]
+        if any(h is None for h in hits):
+            return None
+        return np.stack(hits)
+
+    def put_batch(self, keys, flows: np.ndarray) -> None:
+        for k, f in zip(np.atleast_1d(np.asarray(keys)), flows):
+            self.put(str(k), f)
+
     def __len__(self) -> int:
         return sum(1 for f in os.listdir(self.root) if f.endswith(".npz"))

@@ -153,9 +153,7 @@ class Stage2InputPipeline:
         keys, px_np = item if isinstance(item, tuple) else (None, item)
         cached = None
         if self.flow_cache is not None and keys is not None:
-            hits = [self.flow_cache.get(str(k)) for k in np.atleast_1d(keys)]
-            if all(h is not None for h in hits):
-                cached = np.stack(hits)
+            cached = self.flow_cache.get_batch(keys)
         fl = None if cached is not None else self._teacher(jnp.asarray(px_np))
         return keys, px_np, fl, cached
 
@@ -172,20 +170,23 @@ class Stage2InputPipeline:
         while True:
             keys, cur_px_np, flows_dev, cached = cur
             if cached is not None:
-                flows_np = cached
+                flows_np, backfill = cached, False
             else:
                 try:
                     flows_dev.copy_to_host_async()
                 except AttributeError:  # older jax Array types
                     pass
                 flows_np = np.asarray(flows_dev)  # waits on teacher(i)
-                if self.flow_cache is not None and keys is not None:
-                    for k, f in zip(np.atleast_1d(keys), flows_np):
-                        self.flow_cache.put(str(k), f)
+                backfill = self.flow_cache is not None and keys is not None
             try:
                 nxt = self._start(next(it))       # device: teacher(i+1)
             except StopIteration:
                 nxt = None
+            if backfill:
+                # npz compression rides the mask-overlap region — doing
+                # it BEFORE the teacher(i+1) dispatch serialized host
+                # compression with an idle device
+                self.flow_cache.put_batch(keys, flows_np)
             # host mask sampling overlaps teacher(i+1) on the device
             dense, _ = stage2_control_flow(
                 self.cmp, self.cmp_params, cur_px_np, flows_np,
@@ -207,11 +208,16 @@ def make_stage2_batch(cmp, cmp_params, pixel_values01: np.ndarray,
 
 
 def make_stage1_batch(gmflow, gmflow_params, pixel_values01,
-                      inference_size=(384, 512)) -> dict:
+                      inference_size=(384, 512),
+                      pair_chunk: int | None = None) -> dict:
     """Stage-1 batch: dense GMFlow teacher flow as the control signal
-    (Training/train_stage1.py:113-143, batched over all frame pairs)."""
+    (Training/train_stage1.py:113-143, batched over all frame pairs).
+    pair_chunk: host-chunk the pair batch — required when the SVD bundle
+    is resident (the full 24-pair correlation volume OOMs a 16 GB chip;
+    see get_optical_flows)."""
     from mofa_tpu.models.gmflow.model import get_optical_flows
     px = jnp.asarray(pixel_values01)
     flows = get_optical_flows(gmflow, gmflow_params, px,
-                              inference_size=inference_size)
+                              inference_size=inference_size,
+                              pair_chunk=pair_chunk)
     return {"pixel_values01": px, "flows": flows}

@@ -99,3 +99,45 @@ def test_tp_forward_parity_and_allreduce(unet_and_params):
     # sums instead of all-gathering the activations back
     hlo = fn.lower(p_tp, sample).compile().as_text()
     assert "all-reduce" in hlo
+
+
+def test_conv_pair_allreduce_attributable_to_convs():
+    """A LONE spatial resnet block (no attention anywhere in the program)
+    under model=8: the all-reduce in its HLO can only come from the conv2
+    row-parallel rule, and the full activation must never be all-gathered
+    (the test_tp_forward_parity HLO check alone can't attribute — the
+    attention out-proj rules also emit all-reduces there)."""
+    assert jax.device_count() >= 8
+    from flax import linen as nn
+    from mofa_tpu.models.resnet_blocks import ResnetBlock2D
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, x, temb):
+            return ResnetBlock2D(32, name="spatial_res_block")(x, temb)
+
+    m = Wrap()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 32))
+    temb = jax.random.normal(jax.random.PRNGKey(1), (2, 128))
+    params = m.init(jax.random.PRNGKey(2), x, temb)
+    mesh = make_mesh(data=1, model=8, frames=1)
+    p_tp = shard_params(params, mesh)
+
+    want = np.asarray(m.apply(params, x, temb))
+    fn = jax.jit(lambda p, a, b: m.apply(p, a, b))
+    got = np.asarray(jax.block_until_ready(fn(p_tp, x, temb)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+    hlo = fn.lower(p_tp, x, temb).compile().as_text()
+    assert "all-reduce" in hlo                 # the conv2 row psum
+    # no activation-sized all-gather: the rules must row-reduce partial
+    # sums, not gather the channel-sharded activation back
+    act_elems = int(np.prod(x.shape))
+    for line in hlo.splitlines():
+        if "all-gather(" not in line:
+            continue
+        m2 = re.search(r"=\s*\w+\[([\d,]*)\]", line)
+        if not m2:
+            continue
+        n = int(np.prod([int(d) for d in m2.group(1).split(",") if d]))
+        assert n < act_elems, f"activation-sized all-gather: {line[:160]}"

@@ -166,8 +166,7 @@ def run_stage2(args):
             keys = np.asarray([f"bench:{i}" for i in range(b)])
             t0 = time.perf_counter()
             flows0 = np.asarray(pipe._teacher(jnp.asarray(px_np)))
-            for k, f in zip(keys, flows0):
-                cache.put(str(k), f)
+            cache.put_batch(keys, flows0)
             print(f"cache prefill (the offline pass) "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
             pipe.flow_cache = cache
@@ -184,7 +183,10 @@ def run_stage2(args):
         # exclude compile+warmup (first 2) AND the final drain iteration
         # (it has no teacher(i+1) to issue, so its wall underestimates
         # steady state — observed 3.1 vs 8.5 s on-chip 2026-08-21)
-        steady_w = walls[2:-1] if len(walls) > 3 else walls[-1:]
+        # short-run fallback uses the FIRST post-warmup wall, not the
+        # drain wall this very comment says underestimates steady state
+        steady_w = walls[2:-1] if len(walls) > 3 else (walls[2:3]
+                                                       or walls[-1:])
         steady = statistics.median(steady_w)
         print(json.dumps({
             "metric": "stage2_seconds_per_step",

@@ -298,7 +298,11 @@ def main():
             "f32->bf16->f32 converts feed the spatial-attn K/V "
             "all-gathers); the bf16 TPU deployment moves bf16, so "
             "all-gather/all-to-all/permute f32 elements count 2 bytes. "
-            "all-reduce (fp32-by-design norm stats) counts full width."),
+            "all-reduce (fp32-by-design norm stats) counts full width. "
+            "Caveat: genuinely-fp32 activation movement (e.g. the fp32 "
+            "Euler/CFG glue crossing a reshard) would be undercounted "
+            "by this kind-level heuristic; the denoise stream is bf16 "
+            "end-to-end so none is expected at these sites."),
         "collectives_per_step": inv,
         "collective_bytes_per_step_per_device": total_bytes_per_dev,
         "largest_ops": [
